@@ -1,0 +1,100 @@
+"""cugraph_spark — a PySpark-native graph analytics engine.
+
+Re-expresses rapidsai/cugraph's API surface (see SURVEY.md) as DataFrame
+plans: a Graph abstraction over an edges DataFrame plus a library of graph
+operators implemented as joins/aggregations with an IterLoop runner for
+iterative algorithms. Everything composes with Spark SQL.
+"""
+
+from .structure.graph import Graph, MultiGraph, Tree, BiPartiteGraph
+from .structure.symmetrize import symmetrize_df
+from .link_analysis.pagerank import pagerank, pagerank_with_flag
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "MultiGraph",
+    "Tree",
+    "BiPartiteGraph",
+    "symmetrize_df",
+    "pagerank",
+    "pagerank_with_flag",
+]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import cugraph_spark` cheap and avoid circular
+    # imports as the operator library grows; mirrors cugraph's flat
+    # top-level namespace (python/cugraph/cugraph/__init__.py).
+    import importlib
+
+    lazy = {
+        "bfs": ".traversal.bfs",
+        "bfs_edges": ".traversal.bfs",
+        "multi_source_bfs": ".traversal.bfs",
+        "sssp": ".traversal.sssp",
+        "shortest_path": ".traversal.sssp",
+        "shortest_path_length": ".traversal.sssp",
+        "filter_unreachable": ".traversal.sssp",
+        "weakly_connected_components": ".components.connectivity",
+        "strongly_connected_components": ".components.connectivity",
+        "connected_components": ".components.connectivity",
+        "triangle_count": ".community.triangle_count",
+        "edge_triangle_count": ".community.triangle_count",
+        "core_number": ".cores.core_number",
+        "k_core": ".cores.k_core",
+        "ktruss_subgraph": ".community.ktruss_subgraph",
+        "k_truss": ".community.ktruss_subgraph",
+        "induced_subgraph": ".community.induced_subgraph",
+        "ego_graph": ".community.egonet",
+        "batched_ego_graphs": ".community.egonet",
+        "louvain": ".community.louvain",
+        "leiden": ".community.leiden",
+        "ecg": ".community.ecg",
+        "analyzeClustering_modularity": ".community.clustering_scores",
+        "analyzeClustering_edge_cut": ".community.clustering_scores",
+        "analyzeClustering_ratio_cut": ".community.clustering_scores",
+        "jaccard": ".link_prediction.jaccard",
+        "jaccard_coefficient": ".link_prediction.jaccard",
+        "all_pairs_jaccard": ".link_prediction.jaccard",
+        "overlap": ".link_prediction.overlap",
+        "overlap_coefficient": ".link_prediction.overlap",
+        "all_pairs_overlap": ".link_prediction.overlap",
+        "sorensen": ".link_prediction.sorensen",
+        "sorensen_coefficient": ".link_prediction.sorensen",
+        "all_pairs_sorensen": ".link_prediction.sorensen",
+        "cosine": ".link_prediction.cosine",
+        "cosine_coefficient": ".link_prediction.cosine",
+        "all_pairs_cosine": ".link_prediction.cosine",
+        "katz_centrality": ".centrality.katz_centrality",
+        "eigenvector_centrality": ".centrality.eigenvector_centrality",
+        "degree_centrality": ".centrality.degree_centrality",
+        "betweenness_centrality": ".centrality.betweenness_centrality",
+        "edge_betweenness_centrality": ".centrality.betweenness_centrality",
+        "hits": ".link_analysis.hits",
+        "get_two_hop_neighbors": ".structure.two_hop",
+        "uniform_random_walks": ".sampling.random_walks",
+        "biased_random_walks": ".sampling.random_walks",
+        "node2vec_random_walks": ".sampling.random_walks",
+        "random_walks": ".sampling.random_walks",
+        "homogeneous_neighbor_sample": ".sampling.neighbor_sample",
+        "heterogeneous_neighbor_sample": ".sampling.neighbor_sample",
+        "negative_sampling": ".sampling.negative_sampling",
+        "rmat": ".generators.rmat",
+        "multi_rmat": ".generators.rmat",
+        "minimum_spanning_tree": ".tree.minimum_spanning_tree",
+        "maximum_spanning_tree": ".tree.minimum_spanning_tree",
+        "topological_sort": ".dag.topological_sort",
+        "maximal_independent_set": ".components.mis",
+        "vertex_coloring": ".components.vertex_coloring",
+        "hypergraph": ".structure.hypergraph",
+        "from_edgelist": ".structure.convert_matrix",
+        "from_adjlist": ".structure.convert_matrix",
+        "from_pandas_edgelist": ".structure.convert_matrix",
+        "to_pandas_edgelist": ".structure.convert_matrix",
+    }
+    if name in lazy:
+        mod = importlib.import_module(lazy[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module 'cugraph_spark' has no attribute {name!r}")

@@ -1,0 +1,177 @@
+"""PageRank (standard + personalized) on DataFrames.
+
+Reference semantics: /root/reference/python/cugraph/cugraph/link_analysis/
+pagerank.py:69 (API) and cpp/src/link_analysis/pagerank_impl.cuh (449 LoC):
+power method, weighted edges (contribution = rank * w / out_weight_sum),
+dangling mass redistributed through the reset vector (pagerank_impl.cuh:228),
+L1 convergence check against ``tol`` (pagerank_impl.cuh:311).
+
+Spark plan per iteration (the reference's pull-mode
+``per_v_transform_reduce_incoming_e`` becomes a push-style join+agg —
+identical result, and it reuses the edge table's build-time ``src``
+partitioning so only the V-sized rank table shuffles):
+
+    contribs = norm_edges ⋈ ranks ON src          -- edges stay in place
+    sums     = contribs.groupBy(dst).sum(coef*rank) -- partial agg map-side
+    ranks'   = (1-α)·p + α·(sums + dangling·p)      -- per-vertex expression
+
+One scalar job per iteration collects BOTH the L1 delta and the next
+dangling sum (single agg pass), then lineage is truncated via
+localCheckpoint — constant plan size over 100 iterations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST, WEIGHT
+from ..plans import iterloop
+from ..structure.graph import Graph
+
+
+class FailedToConvergeError(RuntimeError):
+    """Raised when fail_on_nonconvergence=True and max_iter is exhausted
+    (reference: pagerank.py fail_on_nonconvergence semantics)."""
+
+
+def pagerank(
+    G: Graph,
+    alpha: float = 0.85,
+    personalization: Optional[DataFrame] = None,
+    precomputed_vertex_out_weight: Optional[DataFrame] = None,
+    max_iter: int = 100,
+    tol: float = 1e-5,
+    nstart: Optional[DataFrame] = None,
+    weight: str = WEIGHT,
+    fail_on_nonconvergence: bool = True,
+) -> DataFrame:
+    """Returns (vertex, pagerank) with external vertex ids.
+
+    personalization: DataFrame (vertex, values); nstart: (vertex, values).
+    With fail_on_nonconvergence=False also adds a constant ``converged``
+    column? No — the reference returns (df, bool); we attach the flag as
+    ``pagerank.converged`` attribute on the returned DataFrame's metadata
+    via a companion return, keeping the DataFrame schema identical to the
+    reference's (vertex, pagerank).
+    """
+    df, converged = _pagerank_impl(
+        G, alpha, personalization, precomputed_vertex_out_weight, max_iter, tol, nstart, weight
+    )
+    if not converged and fail_on_nonconvergence:
+        raise FailedToConvergeError(f"pagerank did not converge in {max_iter} iterations")
+    return df
+
+
+def pagerank_with_flag(G: Graph, **kwargs) -> tuple[DataFrame, bool]:
+    """(df, converged) — the reference's fail_on_nonconvergence=False shape."""
+    kwargs.setdefault("fail_on_nonconvergence", False)
+    kwargs.pop("fail_on_nonconvergence")
+    return _pagerank_impl(
+        G,
+        kwargs.pop("alpha", 0.85),
+        kwargs.pop("personalization", None),
+        kwargs.pop("precomputed_vertex_out_weight", None),
+        kwargs.pop("max_iter", 100),
+        kwargs.pop("tol", 1e-5),
+        kwargs.pop("nstart", None),
+        kwargs.pop("weight", WEIGHT),
+    )
+
+
+def _pagerank_impl(
+    G: Graph,
+    alpha: float,
+    personalization: Optional[DataFrame],
+    precomputed_vertex_out_weight: Optional[DataFrame],
+    max_iter: int,
+    tol: float,
+    nstart: Optional[DataFrame],
+    weight: str,
+) -> tuple[DataFrame, bool]:
+    edges = G.edgelist
+    weighted = weight in edges.columns and G.is_weighted()
+    w = F.col(weight) if weighted else F.lit(1.0)
+
+    # out-weight sums (precomputed_vertex_out_weight: pagerank.py:69 kwarg)
+    if precomputed_vertex_out_weight is not None:
+        out_w = G.renumber_vertices(precomputed_vertex_out_weight, "vertex").select(
+            F.col("vertex").alias(SRC), F.col("out_weight").alias("_ow")
+        )
+    else:
+        out_w = edges.groupBy(SRC).agg(F.sum(w).alias("_ow"))
+
+    norm_edges = (
+        edges.join(out_w, SRC)
+        .select(SRC, DST, (w / F.col("_ow")).alias("_coef"))
+    )
+    norm_edges = iterloop.persist(norm_edges)
+
+    verts = G.vertices_internal  # (vertex)
+    n = G.number_of_vertices()
+
+    # reset vector p
+    if personalization is not None:
+        pers = G.renumber_vertices(personalization, "vertex")
+        total = pers.agg(F.sum("values")).collect()[0][0]
+        p = verts.join(pers, "vertex", "left").select(
+            "vertex", (F.coalesce(F.col("values"), F.lit(0.0)) / F.lit(total)).alias("_p")
+        )
+    else:
+        p = verts.select("vertex", F.lit(1.0 / n).alias("_p"))
+
+    # dangling flag: vertices with no outgoing edges
+    dangling = verts.join(out_w.select(F.col(SRC).alias("vertex")), "vertex", "left_anti")
+    state = p.join(dangling.select("vertex", F.lit(True).alias("_dang")), "vertex", "left")
+    state = state.select("vertex", "_p", F.coalesce("_dang", F.lit(False)).alias("_dang"))
+
+    # initial ranks (nstart normalized to sum 1, as the reference does)
+    if nstart is not None:
+        ns = G.renumber_vertices(nstart, "vertex")
+        total = ns.agg(F.sum("values")).collect()[0][0]
+        state = state.join(ns, "vertex", "left").select(
+            "vertex", "_p", "_dang",
+            (F.coalesce(F.col("values"), F.lit(0.0)) / F.lit(total)).alias("_rank"),
+        )
+    else:
+        state = state.withColumn("_rank", F.lit(1.0 / n))
+
+    state = iterloop.materialize(state)
+    (dangling_sum,) = iterloop.collect_scalars(
+        state, [F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0))]
+    )
+
+    converged = False
+    for it in range(max_iter):
+        msgs = (
+            norm_edges.join(state.select(F.col("vertex").alias(SRC), "_rank"), SRC)
+            .groupBy(F.col(DST).alias("vertex"))
+            .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
+        )
+        new_state = (
+            state.join(msgs, "vertex", "left")
+            .select(
+                "vertex", "_p", "_dang", F.col("_rank").alias("_prev"),
+                (
+                    (1.0 - alpha) * F.col("_p")
+                    + alpha * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_sum or 0.0) * F.col("_p"))
+                ).alias("_rank"),
+            )
+        )
+        new_state = iterloop.materialize(new_state)
+        delta, dangling_sum = iterloop.collect_scalars(
+            new_state,
+            [
+                F.sum(F.abs(F.col("_rank") - F.col("_prev"))),
+                F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0)),
+            ],
+        )
+        state = new_state.select("vertex", "_p", "_dang", "_rank")
+        if tol > 0 and delta is not None and delta < tol:
+            converged = True
+            break
+
+    norm_edges.unpersist()
+    out = state.select("vertex", F.col("_rank").alias("pagerank"))
+    return G.unrenumber(out, "vertex"), converged

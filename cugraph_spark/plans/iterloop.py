@@ -1,0 +1,66 @@
+"""IterLoop — the engine's one custom execution primitive.
+
+Iterative graph algorithms (pagerank, bfs, wcc, louvain, ...) are loops of
+DataFrame jobs. Catalyst gives us everything *within* one iteration
+(whole-stage codegen, AQE, partial aggregation) but nothing *across*
+iterations: the logical plan grows unboundedly and analysis time blows up.
+This module provides the discipline the reference gets from its explicit
+device-memory buffers (e.g. the ping-pong rank buffers in
+cpp/src/link_analysis/pagerank_impl.cuh):
+
+- ``truncate_lineage``: cut the plan every ``interval`` iterations via
+  ``localCheckpoint(eager=True)``. Local checkpoint writes to executor
+  storage (memory+disk) — no HDFS dependency, survives within the app,
+  which is exactly the lifetime an algorithm loop needs.
+- ``collect_scalars``: one-pass scalar aggregation for convergence tests
+  (the Spark analog of the reference's ``transform_reduce_v`` device
+  reductions, pagerank_impl.cuh:311).
+
+At 100 TB the per-iteration state is a *vertex* table (orders of magnitude
+smaller than the edge table); checkpointing it is cheap relative to the
+edge join, and keeping the big cached edge DataFrame partitioned on the
+join key means only the small vertex side shuffles each iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+DEFAULT_CHECKPOINT_INTERVAL = 5
+
+
+def truncate_lineage(df: DataFrame, iteration: int, interval: int = DEFAULT_CHECKPOINT_INTERVAL) -> DataFrame:
+    """Cut DataFrame lineage every ``interval`` iterations.
+
+    ``localCheckpoint(eager=True)`` materializes the data on executors and
+    replaces the logical plan with a leaf scan — constant-size plans no
+    matter how many iterations run.
+    """
+    if interval and iteration % interval == 0:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint (used for the per-iteration state swap)."""
+    return df.localCheckpoint(eager=True)
+
+
+def collect_scalars(df: DataFrame, exprs: Sequence[Column]) -> tuple:
+    """Run one aggregation job returning the given scalar expressions.
+
+    The one driver-side sync point per iteration: convergence deltas,
+    dangling-mass sums, frontier counts — batch them all into a single
+    ``agg`` so every iteration costs exactly one extra job over the
+    (already checkpointed, hence cheap to rescan) state DataFrame.
+    """
+    row = df.agg(*exprs).collect()[0]
+    return tuple(row)
+
+
+def persist(df: DataFrame) -> DataFrame:
+    return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,409 @@
+"""Graph classes — the engine's fundamental abstraction.
+
+Re-expresses the reference's ``Graph`` / ``MultiGraph``
+(/root/reference/python/cugraph/cugraph/structure/graph_classes.py:30,837
+and graph_implementation/simpleGraph.py) as a thin Python object wrapping a
+*Spark* edges DataFrame with canonical columns plus a renumber map. There
+is no CSR: adjacency is realized per-operator as DataFrame joins, and
+Catalyst/AQE is the physical layer.
+
+Scale design
+------------
+- The canonical edge list is hash-repartitioned on ``src`` and persisted:
+  every frontier-expansion / message-aggregation join then shuffles only
+  the (small) vertex-state side. A 100-TB edge table is shuffled exactly
+  once, at build.
+- Undirected graphs are stored symmetrized (both directions), matching the
+  reference (simpleGraph.py:156-158), so "neighbors" is always a join on
+  ``src`` — no physical transpose is ever needed; pull-direction operators
+  just join on ``dst``.
+- Vertex ids are dense longs via NumberMap (identity-mapped when input ids
+  are already integral — zero cost).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..constants import SRC, DST, WEIGHT, EDGE_ID, EDGE_TYPE
+from .number_map import NumberMap
+from .symmetrize import symmetrize_df
+
+
+class Properties:
+    """Graph properties (reference: simpleGraph.py:79-89)."""
+
+    def __init__(self, directed: bool, multi_edge: bool):
+        self.directed = directed
+        self.multi_edge = multi_edge
+        self.renumbered = False
+        self.store_transposed = False
+        self.self_loop: Optional[bool] = None
+        self.isolated_vertices = None
+        self.node_count: Optional[int] = None
+        self.edge_count: Optional[int] = None
+        self.weighted = False
+
+
+class Graph:
+    """A graph backed by a Spark edges DataFrame.
+
+    Reference API surface: graph_classes.py:30 (``Graph``), :103
+    (``from_cudf_edgelist``). ``directed=True`` gives a DiGraph; undirected
+    graphs are stored symmetrized.
+    """
+
+    def __init__(self, directed: bool = False):
+        self.properties = Properties(directed=directed, multi_edge=False)
+        self._edges: Optional[DataFrame] = None  # internal ids, canonical cols
+        self._nm: Optional[NumberMap] = None
+        self._vertices: Optional[DataFrame] = None  # (vertex) internal ids
+        self._spark = None
+
+    # -- construction ------------------------------------------------------
+
+    def from_edgelist(
+        self,
+        input_df: DataFrame,
+        source: Union[str, Sequence[str]] = "src",
+        destination: Union[str, Sequence[str]] = "dst",
+        edge_attr: Union[str, Sequence[str], None] = None,
+        weight: Optional[str] = None,
+        edge_id: Optional[str] = None,
+        edge_type: Optional[str] = None,
+        renumber: bool = True,
+        store_transposed: bool = False,
+        symmetrize: Optional[bool] = None,
+        vertices: Optional[DataFrame] = None,
+    ) -> "Graph":
+        """Build the graph from an edge-list DataFrame.
+
+        Mirrors ``from_cudf_edgelist`` (graph_classes.py:103); validation
+        rules from simpleGraph.py:160-222 and 142-158:
+        - edge_attr is either one column (weight) or exactly three
+          (weight, edge_id, edge_type);
+        - symmetrize defaults to ``not directed``;
+        - symmetrization with edge ids/types is rejected.
+        """
+        if self._edges is not None:
+            raise RuntimeError("graph already has an edgelist")
+
+        src_cols = [source] if isinstance(source, str) else list(source)
+        dst_cols = [destination] if isinstance(destination, str) else list(destination)
+        for c in src_cols + dst_cols:
+            if c not in input_df.columns:
+                raise ValueError(f"edge column {c!r} not in input DataFrame")
+
+        if edge_attr is not None:
+            if weight or edge_id or edge_type:
+                raise ValueError("cannot pass both edge_attr and weight/edge_id/edge_type")
+            if isinstance(edge_attr, str):
+                weight = edge_attr
+            else:
+                attrs = list(edge_attr)
+                if len(attrs) == 1:
+                    weight = attrs[0]
+                elif len(attrs) == 3:
+                    weight, edge_id, edge_type = attrs
+                else:
+                    raise ValueError(
+                        "edge_attr must be a single column or exactly "
+                        "[weight, edge_id, edge_type] (simpleGraph.py:194-210)"
+                    )
+
+        if symmetrize is None:
+            symmetrize = not self.properties.directed
+        if symmetrize and (edge_id or edge_type):
+            raise ValueError(
+                "symmetrization of edge ids/types is not supported (simpleGraph.py:142-154)"
+            )
+
+        # canonicalize attribute columns (dtype policy: simpleGraph.py:1358-1374)
+        sel = list(input_df.columns)
+        df = input_df
+        if weight:
+            df = df.withColumn(WEIGHT, F.col(weight).cast("double"))
+        if edge_id:
+            df = df.withColumn(EDGE_ID, F.col(edge_id).cast("long"))
+        if edge_type:
+            df = df.withColumn(EDGE_TYPE, F.col(edge_type).cast("int"))
+        keep_attrs = [c for c in (WEIGHT, EDGE_ID, EDGE_TYPE) if c in df.columns]
+        df = df.select(*src_cols, *dst_cols, *keep_attrs)
+
+        edges, nm = NumberMap.renumber_edgelist(
+            df, src_cols, dst_cols, extra_vertices=vertices, force=False if renumber else False
+        )
+
+        if symmetrize:
+            edges = symmetrize_df(edges, multi=self.properties.multi_edge)
+        elif not self.properties.multi_edge:
+            if WEIGHT in edges.columns and not (edge_id or edge_type):
+                others = [c for c in edges.columns if c not in (SRC, DST)]
+                edges = edges.groupBy(SRC, DST).agg(*[F.min(c).alias(c) for c in others])
+            elif not (edge_id or edge_type):
+                edges = edges.dropDuplicates([SRC, DST])
+
+        # The one build-time shuffle: co-locate edges by src so iterative
+        # joins reuse this partitioning and only shuffle vertex state.
+        shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        edges = edges.repartition(shuffle_parts, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+
+        self._edges = edges
+        self._nm = nm
+        self.properties.renumbered = not nm.identity
+        self.properties.weighted = WEIGHT in edges.columns
+        self.properties.store_transposed = store_transposed
+        self._spark = input_df.sparkSession
+
+        vset = edges.select(F.col(SRC).alias("vertex")).union(
+            edges.select(F.col(DST).alias("vertex"))
+        )
+        if nm.identity and vertices is not None:
+            extra = vertices.select(F.col(vertices.columns[0]).cast("long").alias("vertex"))
+            vset = vset.union(extra)
+        mapped = nm.vertices_internal()
+        if mapped is not None:
+            vset = mapped  # map already includes isolated vertices
+        self._vertices = vset.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        return self
+
+    # alias matching the reference dispatch entry points
+    from_cudf_edgelist = from_edgelist
+    from_dask_cudf_edgelist = from_edgelist
+
+    def from_pandas_edgelist(self, pdf, spark, **kwargs) -> "Graph":
+        """convert_matrix.py:261 — pandas round-trip through createDataFrame."""
+        return self.from_edgelist(spark.createDataFrame(pdf), **kwargs)
+
+    # -- views ---------------------------------------------------------------
+
+    @property
+    def edgelist(self) -> DataFrame:
+        """Internal-id canonical edge list (algorithms consume this)."""
+        if self._edges is None:
+            raise RuntimeError("graph has no edgelist")
+        return self._edges
+
+    def edges(self) -> DataFrame:
+        """External-id edge view (reference: simpleGraph.py:1517 /
+        decompress_to_edgelist simpleGraph.py:825)."""
+        df = self._edges
+        df = self._nm.unrenumber(df, SRC)
+        df = self._nm.unrenumber(df, DST)
+        return df
+
+    decompress_to_edgelist = edges
+
+    def nodes(self) -> DataFrame:
+        """External-id vertex list (simpleGraph.py:1525)."""
+        return self.unrenumber(self._vertices, "vertex")
+
+    extract_vertex_list = nodes
+
+    @property
+    def vertices_internal(self) -> DataFrame:
+        return self._vertices
+
+    def view_adj_list(self) -> DataFrame:
+        """CSR-equivalent adjacency view: (src, sorted array of neighbors)
+        (reference AdjList, simpleGraph.py:69-77,605)."""
+        return self._edges.groupBy(SRC).agg(
+            F.sort_array(F.collect_list(DST)).alias("indices")
+        )
+
+    def unrenumber(self, df: DataFrame, col: str) -> DataFrame:
+        return self._nm.unrenumber(df, col)
+
+    def renumber_vertices(self, df: DataFrame, col: str) -> DataFrame:
+        """External → internal for algorithm inputs (start vertices etc.)."""
+        return self._nm.to_internal_vertex_ids(df, col)
+
+    def lookup_internal_vertex_id(self, values) -> list[int]:
+        """Driver-side convenience for small start-vertex lists."""
+        if self._nm.identity:
+            return [int(v) for v in values]
+        spark = self._spark
+        ext = self._nm.external_cols[0]
+        df = spark.createDataFrame([(v,) for v in values], [ext])
+        rows = df.join(self._nm.map_df, ext).select("_internal_id").collect()
+        if len(rows) != len(values):
+            raise ValueError("some vertices not found in graph")
+        return [r[0] for r in rows]
+
+    # -- scalar properties -----------------------------------------------------
+
+    def number_of_vertices(self) -> int:
+        if self.properties.node_count is None:
+            self.properties.node_count = self._vertices.count()
+        return self.properties.node_count
+
+    number_of_nodes = number_of_vertices
+
+    def number_of_edges(self, directed_edges: bool = False) -> int:
+        """Undirected graphs count each symmetrized pair once
+        (simpleGraph.py:994)."""
+        if self.properties.edge_count is None:
+            self.properties.edge_count = self._edges.count()
+        n = self.properties.edge_count
+        if not self.properties.directed and not directed_edges:
+            loops = self._edges.filter(F.col(SRC) == F.col(DST)).count()
+            return (n - loops) // 2 + loops
+        return n
+
+    def density(self) -> float:
+        """graph_classes.py:801,853 — E / (V·(V−1)), doubled numerator for
+        undirected."""
+        v = self.number_of_vertices()
+        if v <= 1:
+            return 0.0
+        e = self.number_of_edges()
+        d = e / (v * (v - 1))
+        if not self.properties.directed:
+            d *= 2.0
+        return d
+
+    def is_directed(self) -> bool:
+        return self.properties.directed
+
+    def is_multigraph(self) -> bool:
+        return self.properties.multi_edge
+
+    def is_weighted(self) -> bool:
+        return self.properties.weighted
+
+    def is_renumbered(self) -> bool:
+        return self.properties.renumbered
+
+    def has_self_loop(self) -> bool:
+        if self.properties.self_loop is None:
+            self.properties.self_loop = (
+                self._edges.filter(F.col(SRC) == F.col(DST)).limit(1).count() > 0
+            )
+        return self.properties.self_loop
+
+    def has_node(self, n) -> bool:
+        [i] = self.lookup_internal_vertex_id_safe([n])
+        if i is None:
+            return False
+        return self._vertices.filter(F.col("vertex") == i).limit(1).count() > 0
+
+    def lookup_internal_vertex_id_safe(self, values):
+        try:
+            return self.lookup_internal_vertex_id(values)
+        except ValueError:
+            return [None] * len(values)
+
+    def has_edge(self, u, v) -> bool:
+        iu, iv = self.lookup_internal_vertex_id_safe([u, v])
+        if iu is None or iv is None:
+            return False
+        return (
+            self._edges.filter((F.col(SRC) == iu) & (F.col(DST) == iv)).limit(1).count() > 0
+        )
+
+    def neighbors(self, n) -> DataFrame:
+        [i] = self.lookup_internal_vertex_id(n if isinstance(n, list) else [n])
+        out = self._edges.filter(F.col(SRC) == i).select(F.col(DST).alias("vertex")).distinct()
+        return self.unrenumber(out, "vertex")
+
+    # -- degrees (simpleGraph.py:1021-1251) -------------------------------------
+
+    def _degree_table(self, direction: str) -> DataFrame:
+        e = self._edges
+        if direction == "in":
+            cnt = e.groupBy(F.col(DST).alias("vertex")).agg(F.count("*").alias("degree"))
+        elif direction == "out":
+            cnt = e.groupBy(F.col(SRC).alias("vertex")).agg(F.count("*").alias("degree"))
+        else:
+            both = e.select(F.col(SRC).alias("vertex")).union(e.select(F.col(DST).alias("vertex")))
+            cnt = both.groupBy("vertex").agg(F.count("*").alias("degree"))
+        return self._vertices.join(cnt, "vertex", "left").select(
+            "vertex", F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree")
+        )
+
+    def in_degree(self, vertex_subset=None) -> DataFrame:
+        return self._finish_degree(self._degree_table("in"), vertex_subset)
+
+    def out_degree(self, vertex_subset=None) -> DataFrame:
+        return self._finish_degree(self._degree_table("out"), vertex_subset)
+
+    def degree(self, vertex_subset=None) -> DataFrame:
+        """Undirected: symmetrized out-degree; directed: in+out
+        (degrees_function, simpleGraph.py:1021)."""
+        if self.properties.directed:
+            d = self._degree_table("both")
+        else:
+            d = self._degree_table("out")
+        return self._finish_degree(d, vertex_subset)
+
+    def degrees(self, vertex_subset=None) -> DataFrame:
+        ind = self._degree_table("in").withColumnRenamed("degree", "in_degree")
+        outd = self._degree_table("out").withColumnRenamed("degree", "out_degree")
+        return self._finish_degree(ind.join(outd, "vertex"), vertex_subset)
+
+    def _finish_degree(self, df: DataFrame, vertex_subset) -> DataFrame:
+        out = self.unrenumber(df, "vertex")
+        if vertex_subset is not None:
+            out = out.filter(F.col("vertex").isin(list(vertex_subset)))
+        return out
+
+    # -- misc -------------------------------------------------------------------
+
+    def select_random_vertices(self, random_state: int, num_vertices: int) -> DataFrame:
+        """simpleGraph.py:932 — uniform vertex sample."""
+        out = (
+            self._vertices.orderBy(F.xxhash64(F.col("vertex"), F.lit(random_state)))
+            .limit(num_vertices)
+        )
+        return self.unrenumber(out, "vertex")
+
+    def to_directed(self) -> "Graph":
+        g = Graph(directed=True)
+        g._edges, g._nm, g._vertices, g._spark = self._edges, self._nm, self._vertices, self._spark
+        g.properties.renumbered = self.properties.renumbered
+        g.properties.weighted = self.properties.weighted
+        return g
+
+    def to_undirected(self) -> "Graph":
+        g = Graph(directed=False)
+        g._nm, g._spark = self._nm, self._spark
+        g._edges = symmetrize_df(self._edges, multi=self.properties.multi_edge)
+        g._vertices = self._vertices
+        g.properties.renumbered = self.properties.renumbered
+        g.properties.weighted = self.properties.weighted
+        return g
+
+    def unpersist(self):
+        if self._edges is not None:
+            self._edges.unpersist()
+        if self._vertices is not None:
+            self._vertices.unpersist()
+
+
+class MultiGraph(Graph):
+    """Parallel edges kept (graph_classes.py:837)."""
+
+    def __init__(self, directed: bool = False):
+        super().__init__(directed=directed)
+        self.properties.multi_edge = True
+
+
+class Tree(Graph):
+    """graph_classes.py:867 — thin subclass."""
+
+
+class BiPartiteGraph(Graph):
+    """graph_classes.py:1045 — vertex partition sets tracked via a column."""
+
+    def __init__(self, directed: bool = False):
+        super().__init__(directed=directed)
+        self._partitions: dict[str, DataFrame] = {}
+
+    def add_nodes_from(self, nodes: DataFrame, bipartite: str):
+        self._partitions[bipartite] = nodes
+
+    def sets(self):
+        return self._partitions

@@ -1,0 +1,45 @@
+"""Edge-list symmetrization.
+
+Reference semantics (/root/reference/python/cugraph/cugraph/structure/
+symmetrize.py:9,68-75 and _add_reverse_edges :265): an undirected graph is
+physically stored with both edge directions; duplicate (src, dst) pairs
+after adding reverse edges are collapsed keeping the MINIMUM weight.
+
+Spark mapping: ``union`` of the reversed selection followed by a
+``groupBy(src, dst).min(weight)`` — one shuffle on (src, dst), map-side
+partial aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST, WEIGHT
+
+
+def add_reverse_edges(edges: DataFrame) -> DataFrame:
+    """Append the reversed copy of every edge (keeps other columns)."""
+    cols = edges.columns
+    swapped = [
+        F.col(DST).alias(SRC) if c == SRC else F.col(SRC).alias(DST) if c == DST else F.col(c)
+        for c in cols
+    ]
+    return edges.select(*cols).unionByName(edges.select(*swapped))
+
+
+def symmetrize_df(
+    edges: DataFrame, multi: bool = False, dedup: bool = True
+) -> DataFrame:
+    """Symmetrize an edge list.
+
+    multi=True (MultiGraph) keeps parallel edges (reference passes
+    ``multi`` through and skips the groupby dedup).
+    """
+    both = add_reverse_edges(edges)
+    if multi or not dedup:
+        return both
+    if WEIGHT in edges.columns:
+        others = [c for c in edges.columns if c not in (SRC, DST)]
+        aggs = [F.min(c).alias(c) for c in others]
+        return both.groupBy(SRC, DST).agg(*aggs)
+    return both.dropDuplicates([SRC, DST])

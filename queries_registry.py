@@ -1,0 +1,271 @@
+"""Query + oracle registry backing __spark_entry__.py.
+
+Each implemented operator from SURVEY.md §2 registers:
+  QUERIES[name]  = callable(spark, sf_dir) -> DataFrame
+  ORACLES[name]  = equivalent DuckDB SQL over the pre-registered views
+                   (region nation customer supplier part orders lineitem
+                   events documents embeddings)
+
+Iterative algorithms (pagerank, bfs, wcc, katz, ...) get *unrolled* SQL
+oracles: a fixed iteration count is expanded into chained CTEs — plain
+ANSI SQL DuckDB executes directly, no recursion extensions needed. The
+Spark query uses the same fixed iteration count (tol=0) so both sides
+compute the identical fixpoint prefix. All floats are rounded to 6 dp on
+both sides (cross-engine float-sum associativity).
+
+Graph fixtures (FIXTURES.md §3) are derived from the star schema with SQL
+that is written ONCE here as a DuckDB CTE string and mirrored in Spark.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Graph fixtures — Spark builders + the DuckDB CTE prelude that derives the
+# *same* edge lists. Keep the two definitions textually adjacent so they
+# can be audited for equivalence.
+# ---------------------------------------------------------------------------
+
+# nation_flow: c_nationkey -> s_nationkey weighted by lineitem count
+# (small dense weighted digraph, <= 25 vertices — FIXTURES.md §3)
+NATION_FLOW_SQL = """
+nf_edges AS MATERIALIZED (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS weight
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+)
+"""
+
+
+def nation_flow_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+# cust_order: bipartite customer -> order; order ids offset so the two key
+# spaces don't collide as integers.
+ORDER_OFFSET = 10_000_000
+CUST_ORDER_SQL = f"""
+co_edges AS MATERIALIZED (
+    SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst
+    FROM orders
+)
+"""
+
+
+def cust_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + F.lit(ORDER_OFFSET)).alias("dst"),
+    )
+
+
+# copurchase: customers sharing a supplier (undirected, deduped pairs
+# src < dst; the Graph symmetrizes). The workhorse medium graph.
+COPURCHASE_SQL = """
+cp_cs AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cp_pairs AS MATERIALIZED (
+    SELECT a.cust AS src, b.cust AS dst
+    FROM cp_cs a JOIN cp_cs b ON a.supp = b.supp
+    WHERE a.cust < b.cust
+    GROUP BY 1, 2
+),
+cp_edges AS MATERIALIZED (
+    SELECT src, dst FROM cp_pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM cp_pairs
+)
+"""
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    return (
+        a.join(b, F.col("a.supp") == F.col("b.supp"))
+        .filter(F.col("a.cust") < F.col("b.cust"))
+        .select(F.col("a.cust").alias("src"), F.col("b.cust").alias("dst"))
+        .distinct()
+    )
+
+
+def copurchase_graph(spark: SparkSession, sf_dir: str):
+    from cugraph_spark import Graph
+
+    g = Graph(directed=False)
+    g.from_edgelist(copurchase_pairs(spark, sf_dir), "src", "dst")
+    return g
+
+
+def nation_flow_graph(spark: SparkSession, sf_dir: str, directed: bool = True):
+    from cugraph_spark import Graph
+
+    g = Graph(directed=directed)
+    g.from_edgelist(nation_flow_edges(spark, sf_dir), "src", "dst", weight="weight")
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Structure / degree queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_cust_order",
+    oracle=f"""
+WITH {CUST_ORDER_SQL.strip().rstrip()},
+verts AS (
+    SELECT src AS vertex FROM co_edges UNION SELECT dst FROM co_edges
+),
+ind AS (SELECT dst AS vertex, COUNT(*) AS c FROM co_edges GROUP BY 1),
+outd AS (SELECT src AS vertex, COUNT(*) AS c FROM co_edges GROUP BY 1)
+SELECT v.vertex,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree
+FROM verts v
+LEFT JOIN ind i ON v.vertex = i.vertex
+LEFT JOIN outd o ON v.vertex = o.vertex
+""",
+)
+def q_degree_cust_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.degrees() on the directed bipartite customer->order graph
+    (SURVEY §2.A degrees)."""
+    from cugraph_spark import Graph
+
+    g = Graph(directed=True)
+    g.from_edgelist(cust_order_edges(spark, sf_dir), "src", "dst")
+    return g.degrees()
+
+
+@register(
+    "degree_copurchase",
+    oracle=f"""
+WITH {COPURCHASE_SQL.strip()},
+verts AS (SELECT DISTINCT src AS vertex FROM cp_edges)
+SELECT v.vertex, CAST(COALESCE(d.c, 0) AS BIGINT) AS degree
+FROM verts v
+LEFT JOIN (SELECT src AS vertex, COUNT(*) AS c FROM cp_edges GROUP BY 1) d
+  ON v.vertex = d.vertex
+""",
+)
+def q_degree_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return copurchase_graph(spark, sf_dir).degree()
+
+
+# ---------------------------------------------------------------------------
+# PageRank — unrolled-SQL oracle
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 30
+
+
+def _pagerank_unrolled_sql(
+    edges_cte: str, edges_name: str, alpha: float, iters: int, weighted: bool
+) -> str:
+    """Generate chained-CTE SQL computing `iters` exact power-method steps
+    (same update rule as cugraph_spark.link_analysis.pagerank: dangling
+    mass redistributed through the uniform reset vector)."""
+    # MATERIALIZED CTEs: without it DuckDB inlines every CTE reference,
+    # re-opening the parquet views O(iters) times (-> EMFILE) and redoing
+    # the fixture join per iteration.
+    w = "weight" if weighted else "1.0"
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"verts AS MATERIALIZED (SELECT src AS v FROM {edges_name} UNION SELECT dst FROM {edges_name}),",
+        "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        f"outw AS MATERIALIZED (SELECT src, SUM({w}) AS ow FROM {edges_name} GROUP BY src),",
+        f"ne AS MATERIALIZED (SELECT e.src, e.dst, {w} / o.ow AS coef FROM {edges_name} e JOIN outw o ON e.src = o.src),",
+        "dangv AS MATERIALIZED (SELECT v.v FROM verts v LEFT JOIN outw o ON v.v = o.src WHERE o.src IS NULL),",
+        "r0 AS MATERIALIZED (SELECT v.v, 1.0 / nv.n AS r FROM verts v CROSS JOIN nv),",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i+1}"
+        parts.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT vv.v,
+         (1 - {alpha}) / nv.n
+         + {alpha} * (COALESCE(m.s, 0)
+            + (SELECT COALESCE(SUM(p.r), 0) FROM {prev} p JOIN dangv d ON p.v = d.v)
+              / nv.n) AS r
+  FROM verts vv CROSS JOIN nv
+  LEFT JOIN (SELECT e.dst AS v, SUM(e.coef * p.r) AS s
+             FROM ne e JOIN {prev} p ON e.src = p.v GROUP BY e.dst) m
+    ON vv.v = m.v
+),"""
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT v AS vertex, ROUND(r, 6) AS pagerank FROM r{iters}"
+
+
+@register(
+    "pagerank_nation_flow",
+    oracle=_pagerank_unrolled_sql(NATION_FLOW_SQL, "nf_edges", 0.85, PR_ITERS, weighted=True),
+)
+def q_pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted directed pagerank, fixed 30 iterations (SURVEY §2.C)."""
+    from cugraph_spark import pagerank
+
+    g = nation_flow_graph(spark, sf_dir, directed=True)
+    pr = pagerank(g, alpha=0.85, max_iter=PR_ITERS, tol=0.0, fail_on_nonconvergence=False)
+    return pr.select("vertex", F.round("pagerank", 6).alias("pagerank"))
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=_pagerank_unrolled_sql(COPURCHASE_SQL, "cp_edges", 0.85, 20, weighted=False),
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted undirected pagerank on the medium co-purchase graph."""
+    from cugraph_spark import pagerank
+
+    g = copurchase_graph(spark, sf_dir)
+    pr = pagerank(g, alpha=0.85, max_iter=20, tol=0.0, fail_on_nonconvergence=False)
+    return pr.select("vertex", F.round("pagerank", 6).alias("pagerank"))
