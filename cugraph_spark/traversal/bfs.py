@@ -1,0 +1,166 @@
+"""Breadth-first search (single- and multi-source).
+
+Reference: /root/reference/python/cugraph/cugraph/traversal/bfs.py:69
+(API, output columns ``vertex, distance, predecessor``; unreached vertices
+get distance = int-max sentinel, predecessor = -1) and
+cpp/src/traversal/bfs_impl.cuh (direction-optimizing frontier kernel).
+
+Spark mapping (SURVEY §2.B): level-synchronous IterLoop. The frontier is a
+small vertex DataFrame; expansion joins it against the ``src``-partitioned
+edge table (only the frontier shuffles; AQE broadcasts it when small —
+the Spark analog of the reference's top-down/bottom-up switch). New
+vertices take the MINIMUM predecessor for determinism.
+
+Scale note: ``visited`` grows to V rows; the anti-join per level is a
+shuffle of at most V rows, and lineage is truncated every level via
+localCheckpoint so 1000-level graphs don't blow up the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST
+from ..plans import iterloop
+from ..structure.graph import Graph
+
+INT_MAX = 2147483647
+
+
+def bfs(
+    G: Graph,
+    start: Union[int, str, list, DataFrame],
+    depth_limit: Optional[int] = None,
+    return_predecessors: bool = True,
+) -> DataFrame:
+    """Returns (vertex, distance, predecessor) over ALL graph vertices;
+    unreached: distance = 2147483647, predecessor = -1 (bfs.py:69
+    docstring semantics)."""
+    starts = start if isinstance(start, list) else [start]
+    ids = G.lookup_internal_vertex_id(starts)
+    spark = G.edgelist.sparkSession
+    edges = G.edgelist.select(SRC, DST)
+
+    visited = spark.createDataFrame(
+        [(i, 0, -1) for i in ids], "vertex long, distance int, predecessor long"
+    )
+    frontier = visited.select("vertex")
+    depth = 0
+    while depth_limit is None or depth < depth_limit:
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vertex", SRC), SRC)
+            .groupBy(F.col(DST).alias("vertex"))
+            .agg(F.min(SRC).alias("predecessor"))
+            .join(visited.select("vertex"), "vertex", "left_anti")
+        )
+        depth += 1
+        nxt = iterloop.materialize(
+            nxt.select("vertex", F.lit(depth).cast("int").alias("distance"), "predecessor")
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
+        frontier = nxt.select("vertex")
+
+    out = (
+        G.vertices_internal.join(visited, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("distance", F.lit(INT_MAX)).cast("int").alias("distance"),
+            F.coalesce("predecessor", F.lit(-1)).cast("long").alias("predecessor"),
+        )
+    )
+    out = G.unrenumber(out, "vertex")
+    if G.is_renumbered():
+        out = _unrenumber_pred(G, out)
+    if not return_predecessors:
+        out = out.drop("predecessor")
+    return out
+
+
+def _unrenumber_pred(G: Graph, df: DataFrame) -> DataFrame:
+    """Predecessors are vertex ids too; map back preserving the -1
+    sentinel (reference unrenumbers the predecessor column likewise)."""
+    mapped = G.unrenumber(
+        df.filter(F.col("predecessor") >= 0), "predecessor"
+    )
+    sent = df.filter(F.col("predecessor") < 0)
+    # sentinel rows keep -1; align types by casting to string when external
+    # ids are strings is avoided: keep internal -1 as NULL-safe literal
+    if dict(mapped.dtypes).get("predecessor") != dict(sent.dtypes).get("predecessor"):
+        sent = sent.withColumn(
+            "predecessor", F.lit(None).cast(dict(mapped.dtypes)["predecessor"])
+        )
+    return mapped.unionByName(sent)
+
+
+def bfs_edges(G: Graph, source, reverse: bool = False, depth_limit: Optional[int] = None):
+    """NetworkX-compat wrapper (traversal/bfs.py:199)."""
+    if reverse and G.is_directed():
+        G = _transposed(G)
+    return bfs(G, source, depth_limit=depth_limit)
+
+
+def _transposed(G: Graph) -> Graph:
+    g = Graph(directed=True)
+    g._edges = G.edgelist.select(
+        F.col(DST).alias(SRC), F.col(SRC).alias(DST),
+        *[c for c in G.edgelist.columns if c not in (SRC, DST)],
+    )
+    g._nm, g._vertices, g._spark = G._nm, G._vertices, G._spark
+    g.properties.renumbered = G.properties.renumbered
+    g.properties.weighted = G.properties.weighted
+    return g
+
+
+def multi_source_bfs(
+    G: Graph, sources: Iterable, depth_limit: Optional[int] = None
+) -> DataFrame:
+    """Concurrent BFS from many sources (traversal/ms_bfs.py:172).
+
+    Returns (source, vertex, distance, predecessor) for REACHED vertices —
+    the frontier carries a ``source`` key column; otherwise identical to
+    the single-source loop. Unreached (source, vertex) pairs are omitted
+    (the full cross product is O(S·V)).
+    """
+    src_list = list(sources)
+    ids = G.lookup_internal_vertex_id(src_list)
+    spark = G.edgelist.sparkSession
+    edges = G.edgelist.select(SRC, DST)
+
+    visited = spark.createDataFrame(
+        [(i, i, 0, -1) for i in ids],
+        "source long, vertex long, distance int, predecessor long",
+    )
+    frontier = visited.select("source", "vertex")
+    depth = 0
+    while depth_limit is None or depth < depth_limit:
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vertex", SRC), SRC)
+            .groupBy("source", F.col(DST).alias("vertex"))
+            .agg(F.min(SRC).alias("predecessor"))
+            .join(visited.select("source", "vertex"), ["source", "vertex"], "left_anti")
+        )
+        depth += 1
+        nxt = iterloop.materialize(
+            nxt.select(
+                "source", "vertex", F.lit(depth).cast("int").alias("distance"), "predecessor"
+            )
+        )
+        if nxt.count() == 0:
+            break
+        visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
+        frontier = nxt.select("source", "vertex")
+
+    out = visited
+    out = G.unrenumber(out, "vertex")
+    out = G.unrenumber(out, "source")
+    if G.is_renumbered():
+        out = _unrenumber_pred(G, out)
+    return out
+
+
+concurrent_bfs = multi_source_bfs

@@ -1,0 +1,135 @@
+"""Single-source shortest paths (non-negative weights).
+
+Reference: /root/reference/python/cugraph/cugraph/traversal/sssp.py:108
+(output ``vertex, distance, predecessor``; unreached = inf/-1) and
+cpp/src/traversal/sssp_impl.cuh (near-far bucket delta-stepping).
+
+Spark mapping (SURVEY §2.B): frontier-driven Bellman-Ford. Buckets don't
+pay off on a synchronous BSP engine; instead each round relaxes only
+edges out of vertices whose distance improved last round (the frontier),
+converging in O(longest shortest-path hop count) rounds. Deterministic
+predecessors via min-(distance, predecessor) struct aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST, WEIGHT
+from ..plans import iterloop
+from ..structure.graph import Graph
+
+
+def sssp(
+    G: Graph,
+    source: Union[int, str],
+    cutoff: Optional[float] = None,
+    edge_attr: str = WEIGHT,
+) -> DataFrame:
+    """Returns (vertex, distance, predecessor) over all vertices;
+    unweighted graphs fall back to hop counts (weight 1.0, as the
+    reference warns-and-does, sssp.py:108 docstring)."""
+    [sid] = G.lookup_internal_vertex_id([source])
+    spark = G.edgelist.sparkSession
+    edges = G.edgelist
+    w = F.col(edge_attr).cast("double") if edge_attr in edges.columns else F.lit(1.0)
+    edges = edges.select(SRC, DST, w.alias("_w"))
+
+    dist = spark.createDataFrame(
+        [(sid, 0.0, -1)], "vertex long, distance double, predecessor long"
+    )
+    frontier = dist  # rows improved last round
+    it = 0
+    while True:
+        cand = (
+            edges.join(
+                frontier.select(F.col("vertex").alias(SRC), F.col("distance").alias("_d")),
+                SRC,
+            )
+            .select(
+                F.col(DST).alias("vertex"),
+                (F.col("_d") + F.col("_w")).alias("distance"),
+                F.col(SRC).alias("predecessor"),
+            )
+        )
+        if cutoff is not None:
+            cand = cand.filter(F.col("distance") <= cutoff)
+        cand = (
+            cand.groupBy("vertex")
+            .agg(F.min(F.struct("distance", "predecessor")).alias("_best"))
+            .select("vertex", "_best.distance", "_best.predecessor")
+        )
+        improved = (
+            cand.join(dist.select("vertex", F.col("distance").alias("_old")), "vertex", "left")
+            .filter(F.col("_old").isNull() | (F.col("distance") < F.col("_old")))
+            .select("vertex", "distance", "predecessor")
+        )
+        improved = iterloop.materialize(improved)
+        if improved.count() == 0:
+            break
+        dist = (
+            dist.join(improved.select("vertex"), "vertex", "left_anti")
+            .unionByName(improved)
+        )
+        it += 1
+        dist = iterloop.truncate_lineage(dist, it, 3)
+        frontier = improved
+
+    # deterministic predecessors: recompute globally as the MIN u with
+    # dist(u) + w(u,v) == dist(v). The in-loop predecessor depends on
+    # which round last improved v; this post-pass makes the output a
+    # pure function of the graph (and lets the SQL oracle replicate it).
+    preds = (
+        edges.join(dist.select(F.col("vertex").alias(SRC), F.col("distance").alias("_du")), SRC)
+        .join(dist.select(F.col("vertex").alias(DST), F.col("distance").alias("_dv")), DST)
+        .filter(F.col("_du") + F.col("_w") == F.col("_dv"))
+        .groupBy(F.col(DST).alias("vertex"))
+        .agg(F.min(SRC).alias("_pred"))
+    )
+    dist = dist.join(preds, "vertex", "left").select(
+        "vertex",
+        "distance",
+        F.when(F.col("distance") == 0.0, F.lit(-1))
+        .otherwise(F.coalesce("_pred", F.lit(-1)))
+        .cast("long")
+        .alias("predecessor"),
+    )
+
+    out = (
+        G.vertices_internal.join(dist, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("distance", F.lit(float("inf"))).alias("distance"),
+            F.coalesce("predecessor", F.lit(-1)).cast("long").alias("predecessor"),
+        )
+    )
+    out = G.unrenumber(out, "vertex")
+    if G.is_renumbered():
+        from .bfs import _unrenumber_pred
+
+        out = _unrenumber_pred(G, out)
+    return out
+
+
+def shortest_path(G: Graph, source, **kwargs) -> DataFrame:
+    """Alias (sssp.py:263)."""
+    return sssp(G, source, **kwargs)
+
+
+def shortest_path_length(G: Graph, source, target=None):
+    """sssp.py:289 — distances only; scalar when target given."""
+    df = sssp(G, source).select("vertex", "distance")
+    if target is None:
+        return df
+    rows = df.filter(F.col("vertex") == target).collect()
+    if not rows or rows[0]["distance"] == float("inf"):
+        raise ValueError(f"no path to {target!r}")
+    return rows[0]["distance"]
+
+
+def filter_unreachable(df: DataFrame) -> DataFrame:
+    """Drop rows with infinite/sentinel distance (sssp.py:233)."""
+    c = F.col("distance")
+    return df.filter(c.isNotNull() & (c != float("inf")) & (c != 2147483647))

@@ -269,3 +269,223 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = copurchase_graph(spark, sf_dir)
     pr = pagerank(g, alpha=0.85, max_iter=20, tol=0.0, fail_on_nonconvergence=False)
     return pr.select("vertex", F.round("pagerank", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Traversal fixtures: customer<->supplier bipartite (supplier keys offset)
+# ---------------------------------------------------------------------------
+
+SUPP_OFFSET = 20_000_000
+
+# full bipartite graph (both directions = symmetrized undirected)
+CUST_SUPP_SQL = f"""
+cs_pairs AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {SUPP_OFFSET} AS b
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cs_edges AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM cs_pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM cs_pairs
+)
+"""
+
+# sparse variant (high-quantity lineitems only) -> multiple components
+CUST_SUPP_SPARSE_SQL = f"""
+css_pairs AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {SUPP_OFFSET} AS b
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 48
+),
+css_edges AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM css_pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM css_pairs
+)
+"""
+
+
+def cust_supp_pairs(spark: SparkSession, sf_dir: str, sparse: bool = False) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    if sparse:
+        l = l.filter(F.col("l_quantity") > 48)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def cust_supp_graph(spark: SparkSession, sf_dir: str, sparse: bool = False):
+    from cugraph_spark import Graph
+
+    g = Graph(directed=False)
+    g.from_edgelist(cust_supp_pairs(spark, sf_dir, sparse), "src", "dst")
+    return g
+
+
+# ---------------------------------------------------------------------------
+# BFS — unrolled-SQL oracle (min distance per level; min predecessor)
+# ---------------------------------------------------------------------------
+
+BFS_DEPTH = 6
+INT_MAX = 2147483647
+
+
+def _bfs_unrolled_sql(edges_cte: str, edges_name: str, source: int, depth: int) -> str:
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM {edges_name}),",
+        f"r0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS v, 0 AS dist),",
+    ]
+    for i in range(depth):
+        parts.append(
+            f"""r{i+1} AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM r{i}
+    UNION ALL
+    SELECT e.dst AS v, f.dist + 1 AS dist
+    FROM {edges_name} e JOIN r{i} f ON e.src = f.v
+    WHERE f.dist = {i}
+  ) GROUP BY v
+),"""
+        )
+    last = f"r{depth}"
+    parts.append(
+        f"""preds AS MATERIALIZED (
+  SELECT e.dst AS v, MIN(e.src) AS pred
+  FROM {edges_name} e
+  JOIN {last} du ON e.src = du.v
+  JOIN {last} dv ON e.dst = dv.v
+  WHERE du.dist = dv.dist - 1
+  GROUP BY e.dst
+)"""
+    )
+    body = "\n".join(parts) + "\n"
+    return body + f"""
+SELECT vv.v AS vertex,
+       CAST(COALESCE(r.dist, {INT_MAX}) AS INTEGER) AS distance,
+       CAST(CASE WHEN r.dist = 0 OR r.dist IS NULL THEN -1
+                 ELSE COALESCE(p.pred, -1) END AS BIGINT) AS predecessor
+FROM verts vv
+LEFT JOIN {last} r ON vv.v = r.v
+LEFT JOIN preds p ON vv.v = p.v
+"""
+
+
+@register(
+    "bfs_cust_supp",
+    oracle=_bfs_unrolled_sql(CUST_SUPP_SQL, "cs_edges", 1, BFS_DEPTH),
+)
+def q_bfs_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS from customer 1 over the customer-supplier bipartite graph,
+    fixed depth limit (SURVEY §2.B bfs)."""
+    from cugraph_spark import bfs
+
+    g = cust_supp_graph(spark, sf_dir)
+    return bfs(g, 1, depth_limit=BFS_DEPTH)
+
+
+# ---------------------------------------------------------------------------
+# SSSP — unrolled Bellman-Ford oracle
+# ---------------------------------------------------------------------------
+
+SSSP_ITERS = 26  # >= V-1 on the 25-vertex nation graph
+
+
+def _sssp_unrolled_sql(edges_cte: str, edges_name: str, source: int, iters: int) -> str:
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"verts AS MATERIALIZED (SELECT src AS v FROM {edges_name} UNION SELECT dst FROM {edges_name}),",
+        f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS v, CAST(0 AS DOUBLE) AS dist),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""d{i+1} AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS v, f.dist + e.weight AS dist
+    FROM {edges_name} e JOIN d{i} f ON e.src = f.v
+  ) GROUP BY v
+),"""
+        )
+    last = f"d{iters}"
+    parts.append(
+        f"""preds AS MATERIALIZED (
+  SELECT e.dst AS v, MIN(e.src) AS pred
+  FROM {edges_name} e
+  JOIN {last} du ON e.src = du.v
+  JOIN {last} dv ON e.dst = dv.v
+  WHERE du.dist + e.weight = dv.dist
+  GROUP BY e.dst
+)"""
+    )
+    body = "\n".join(parts) + "\n"
+    return body + f"""
+SELECT vv.v AS vertex,
+       ROUND(COALESCE(r.dist, 1e308 * 10), 6) AS distance,
+       CAST(CASE WHEN r.dist = 0 OR r.dist IS NULL THEN -1
+                 ELSE COALESCE(p.pred, -1) END AS BIGINT) AS predecessor
+FROM verts vv
+LEFT JOIN {last} r ON vv.v = r.v
+LEFT JOIN preds p ON vv.v = p.v
+"""
+
+
+@register(
+    "sssp_nation_flow",
+    oracle=_sssp_unrolled_sql(NATION_FLOW_SQL, "nf_edges", 0, SSSP_ITERS),
+)
+def q_sssp_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from nation 0 on the nation-flow digraph (SURVEY §2.B)."""
+    from cugraph_spark import sssp
+
+    g = nation_flow_graph(spark, sf_dir, directed=True)
+    out = sssp(g, 0)
+    return out.select("vertex", F.round("distance", 6).alias("distance"), "predecessor")
+
+
+# ---------------------------------------------------------------------------
+# WCC — unrolled min-label-propagation oracle
+# ---------------------------------------------------------------------------
+
+WCC_ITERS = 30
+
+
+def _wcc_unrolled_sql(edges_cte: str, edges_name: str, iters: int) -> str:
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM {edges_name}),",
+        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""l{i+1} AS MATERIALIZED (
+  SELECT vv.v, LEAST(lv.lab, COALESCE(m.nbr, lv.lab)) AS lab
+  FROM verts vv
+  JOIN l{i} lv ON vv.v = lv.v
+  LEFT JOIN (SELECT e.dst AS v, MIN(f.lab) AS nbr
+             FROM {edges_name} e JOIN l{i} f ON e.src = f.v
+             GROUP BY e.dst) m ON vv.v = m.v
+),"""
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT v AS vertex, lab AS labels FROM l{iters}"
+
+
+@register(
+    "wcc_cust_supp_sparse",
+    oracle=_wcc_unrolled_sql(CUST_SUPP_SPARSE_SQL, "css_edges", WCC_ITERS),
+)
+def q_wcc_cust_supp_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCC on the sparse customer-supplier graph (multiple components);
+    labels = min vertex id per component (SURVEY §2.E)."""
+    from cugraph_spark import weakly_connected_components
+
+    g = cust_supp_graph(spark, sf_dir, sparse=True)
+    return weakly_connected_components(g)
