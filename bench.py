@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Mirrors the reference's standalone benchmark set (graph build, bfs, sssp,
+pagerank — /root/reference/benchmarks/cugraph/standalone/README.md) plus
+wcc, on fixtures whose size scales linearly with sf (the quadratic
+co-purchase fixture is reserved for small-sf correctness runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SUPP_OFFSET = 20_000_000
+
+
+def main() -> None:
+    from cugraph_spark.session import get_spark
+    from cugraph_spark import Graph, pagerank, bfs, sssp, weakly_connected_components
+
+    spark = get_spark("cugraph_spark_bench")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    # -- graph build: customer<->supplier bipartite ------------------------
+    with timed("graph_build"):
+        cs = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+            )
+            .distinct()
+        )
+        g = Graph(directed=False)
+        g.from_edgelist(cs, "src", "dst")
+        n_edges = g.number_of_edges(directed_edges=True)
+
+    # -- pagerank -----------------------------------------------------------
+    with timed("pagerank"):
+        pr = pagerank(g, max_iter=30, tol=0.0, fail_on_nonconvergence=False)
+        pr.agg(F.sum("pagerank")).collect()
+
+    # -- bfs ------------------------------------------------------------------
+    with timed("bfs"):
+        b = bfs(g, 1)
+        b.agg(F.sum(F.col("distance").cast("double"))).collect()
+
+    # -- wcc ---------------------------------------------------------------
+    with timed("wcc"):
+        w = weakly_connected_components(g)
+        w.agg(F.countDistinct("labels")).collect()
+
+    # -- weighted sssp on part<->supplier graph -----------------------------
+    with timed("sssp"):
+        ps = (
+            lineitem.groupBy(
+                F.col("l_partkey").alias("src"),
+                (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+            )
+            .agg(F.sum("l_quantity").alias("weight"))
+        )
+        g2 = Graph(directed=False)
+        g2.from_edgelist(ps, "src", "dst", weight="weight")
+        s = sssp(g2, 1)
+        s.agg(F.sum(F.when(F.col("distance") != float("inf"), F.col("distance")))).collect()
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "edges_built": n_edges,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
