@@ -1,0 +1,77 @@
+"""Eigenvector centrality.
+
+Reference: centrality/eigenvector_centrality.py:13 and
+cpp/src/centrality/eigenvector_centrality_impl.cuh:60-140: power
+iteration on (A + I) — ``new(v) = Σ_in old(u)·w  then new += old`` (the
++I shift damps bipartite oscillation), L2-normalize every round,
+L1 convergence ``Σ|Δ| < n·tol``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST, WEIGHT
+from ..plans import iterloop
+from ..structure.graph import Graph
+from ..link_analysis.pagerank import FailedToConvergeError
+
+
+def eigenvector_centrality(
+    G: Graph,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    nstart: Optional[DataFrame] = None,
+    fail_on_nonconvergence: bool = True,
+) -> DataFrame:
+    """Returns (vertex, eigenvector_centrality) (L2-normalized)."""
+    edges = G.edgelist
+    w = F.col(WEIGHT) if G.is_weighted() else F.lit(1.0)
+    e = iterloop.persist(edges.select(SRC, DST, w.alias("_w")))
+    verts = G.vertices_internal
+    n = G.number_of_vertices()
+
+    if nstart is not None:
+        ns = G.renumber_vertices(nstart, "vertex")
+        state = verts.join(ns, "vertex", "left").select(
+            "vertex", F.coalesce("values", F.lit(1.0 / n)).alias("_c")
+        )
+    else:
+        state = verts.select("vertex", F.lit(1.0 / n).alias("_c"))
+    state = iterloop.materialize(state)
+
+    converged = False
+    for _ in range(max_iter):
+        msgs = (
+            e.join(state.select(F.col("vertex").alias(SRC), "_c"), SRC)
+            .groupBy(F.col(DST).alias("vertex"))
+            .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
+        )
+        pre = state.join(msgs, "vertex", "left").select(
+            "vertex",
+            F.col("_c").alias("_old"),
+            (F.coalesce("_in", F.lit(0.0)) + F.col("_c")).alias("_raw"),
+        )
+        pre = iterloop.materialize(pre)
+        (l2,) = iterloop.collect_scalars(pre, [F.sqrt(F.sum(F.col("_raw") * F.col("_raw")))])
+        new_state = pre.select(
+            "vertex", "_old", (F.col("_raw") / F.lit(l2)).alias("_c")
+        )
+        new_state = iterloop.materialize(new_state)
+        (delta,) = iterloop.collect_scalars(
+            new_state, [F.sum(F.abs(F.col("_c") - F.col("_old")))]
+        )
+        state = new_state.select("vertex", "_c")
+        if delta < n * tol:
+            converged = True
+            break
+
+    e.unpersist()
+    if not converged and fail_on_nonconvergence:
+        raise FailedToConvergeError(
+            f"eigenvector centrality did not converge in {max_iter} iterations"
+        )
+    out = state.select("vertex", F.col("_c").alias("eigenvector_centrality"))
+    return G.unrenumber(out, "vertex")

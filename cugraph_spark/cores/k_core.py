@@ -1,0 +1,46 @@
+"""k-core subgraph.
+
+Reference: cores/k_core.py:28 — maximal subgraph with minimum degree >= k;
+built from core numbers (cpp/src/cores/k_core_impl.cuh just filters).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST
+from ..structure.graph import Graph
+from .core_number import core_number
+
+
+def k_core(
+    G: Graph, k: Optional[int] = None, core_number_df: Optional[DataFrame] = None
+) -> Graph:
+    """Returns the k-core as a new Graph. ``k`` defaults to the maximum
+    core number (reference semantics); ``core_number_df`` (vertex,
+    core_number) may be precomputed."""
+    if G.is_directed():
+        raise ValueError("input graph must be undirected")
+    if core_number_df is None:
+        core_number_df = core_number(G)
+    if k is None:
+        k = core_number_df.agg(F.max("core_number")).collect()[0][0]
+
+    keep = core_number_df.filter(F.col("core_number") >= k).select("vertex")
+    edges = G.edges()  # external ids
+    edges = edges.join(keep.withColumnRenamed("vertex", SRC), SRC, "left_semi")
+    edges = edges.join(keep.withColumnRenamed("vertex", DST), DST, "left_semi")
+
+    out = Graph(directed=False)
+    weight = "weight" if "weight" in edges.columns else None
+    # already symmetrized rows — don't re-symmetrize (pass symmetrize=False)
+    out.from_edgelist(edges, SRC, DST, weight=weight, symmetrize=False)
+    return out
+
+
+def k_core_edges(G: Graph, k: Optional[int] = None) -> DataFrame:
+    """Edge list of the k-core deduped to src<dst pairs (query surface)."""
+    sub = k_core(G, k)
+    return sub.edges().filter(F.col(SRC) < F.col(DST)).select(SRC, DST)

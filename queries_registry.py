@@ -489,3 +489,503 @@ def q_wcc_cust_supp_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = cust_supp_graph(spark, sf_dir, sparse=True)
     return weakly_connected_components(g)
+
+
+# ---------------------------------------------------------------------------
+# Sparse co-purchase fixture (high-quantity lineitems): small enough for
+# triangle/truss/core oracles, still has rich triangle structure.
+# ---------------------------------------------------------------------------
+
+COPURCHASE_SPARSE_SQL = """
+cps_cs AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 48
+),
+cps_pairs AS MATERIALIZED (
+    SELECT a.cust AS src, b.cust AS dst
+    FROM cps_cs a JOIN cps_cs b ON a.supp = b.supp
+    WHERE a.cust < b.cust
+    GROUP BY 1, 2
+),
+cps_edges AS MATERIALIZED (
+    SELECT src, dst FROM cps_pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM cps_pairs
+)
+"""
+
+
+def copurchase_sparse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    return (
+        a.join(b, F.col("a.supp") == F.col("b.supp"))
+        .filter(F.col("a.cust") < F.col("b.cust"))
+        .select(F.col("a.cust").alias("src"), F.col("b.cust").alias("dst"))
+        .distinct()
+    )
+
+
+def copurchase_sparse_graph(spark: SparkSession, sf_dir: str):
+    from cugraph_spark import Graph
+
+    g = Graph(directed=False)
+    g.from_edgelist(copurchase_sparse_pairs(spark, sf_dir), "src", "dst")
+    return g
+
+
+# ---------------------------------------------------------------------------
+# two-hop neighbors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "two_hop_cust_supp_sparse",
+    oracle=f"""
+WITH {CUST_SUPP_SPARSE_SQL.strip()}
+SELECT DISTINCT e1.src AS first, e2.dst AS second
+FROM css_edges e1 JOIN css_edges e2 ON e1.dst = e2.src
+WHERE e1.src <> e2.dst
+""",
+)
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_two_hop_neighbors (SURVEY §2.A)."""
+    from cugraph_spark import get_two_hop_neighbors
+
+    g = cust_supp_graph(spark, sf_dir, sparse=True)
+    return get_two_hop_neighbors(g)
+
+
+# ---------------------------------------------------------------------------
+# similarity family (SURVEY §2.F) — all-pairs over two-hop wedges
+# ---------------------------------------------------------------------------
+
+_SIM_PRELUDE = f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+pairs AS MATERIALIZED (
+    SELECT DISTINCT e1.src AS first, e2.dst AS second
+    FROM cps_edges e1 JOIN cps_edges e2 ON e1.dst = e2.src
+    WHERE e1.src <> e2.dst
+),
+deg AS MATERIALIZED (
+    SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM cps_edges GROUP BY 1
+),
+inter AS MATERIALIZED (
+    SELECT p.first, p.second, CAST(COUNT(*) AS DOUBLE) AS i
+    FROM pairs p
+    JOIN cps_edges ea ON ea.src = p.first
+    JOIN cps_edges eb ON eb.src = p.second AND eb.dst = ea.dst
+    GROUP BY 1, 2
+)
+"""
+
+
+def _sim_oracle(metric: str, denom: str) -> str:
+    return (
+        _SIM_PRELUDE
+        + f"""
+SELECT p.first, p.second,
+       ROUND(COALESCE(i.i, 0) / ({denom}), 6) AS {metric}_coeff
+FROM pairs p
+JOIN deg da ON da.v = p.first
+JOIN deg db ON db.v = p.second
+LEFT JOIN inter i ON i.first = p.first AND i.second = p.second
+"""
+    )
+
+
+def _make_sim_query(metric: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import cugraph_spark as cg
+
+        g = copurchase_sparse_graph(spark, sf_dir)
+        fn = getattr(cg, metric)
+        out = fn(g)
+        coeff = f"{metric}_coeff"
+        return out.select("first", "second", F.round(coeff, 6).alias(coeff))
+
+    q.__name__ = f"q_{metric}_copurchase_sparse"
+    q.__doc__ = f"all-two-hop-pairs {metric} similarity (SURVEY §2.F)."
+    return q
+
+
+for _metric, _denom in [
+    ("jaccard", "da.d + db.d - COALESCE(i.i, 0)"),
+    ("overlap", "LEAST(da.d, db.d)"),
+    ("sorensen", "(da.d + db.d) / 2"),
+    ("cosine", "SQRT(da.d * db.d)"),
+]:
+    _d = _denom if _metric != "sorensen" else "(da.d + db.d)"
+    _oracle = (
+        _sim_oracle(_metric, _denom)
+        if _metric != "sorensen"
+        else _SIM_PRELUDE
+        + """
+SELECT p.first, p.second,
+       ROUND(2 * COALESCE(i.i, 0) / (da.d + db.d), 6) AS sorensen_coeff
+FROM pairs p
+JOIN deg da ON da.v = p.first
+JOIN deg db ON db.v = p.second
+LEFT JOIN inter i ON i.first = p.first AND i.second = p.second
+"""
+    )
+    register(f"{_metric}_copurchase_sparse", _oracle)(_make_sim_query(_metric))
+
+
+# ---------------------------------------------------------------------------
+# triangle count
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "triangle_count_copurchase_sparse",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+tri AS MATERIALIZED (
+    SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+    FROM cps_pairs ab
+    JOIN cps_pairs bc ON ab.dst = bc.src
+    JOIN cps_pairs ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+corners AS MATERIALIZED (
+    SELECT a AS vertex FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM cps_edges)
+SELECT v.vertex, CAST(COALESCE(t.c, 0) AS BIGINT) AS counts
+FROM verts v
+LEFT JOIN (SELECT vertex, COUNT(*) AS c FROM corners GROUP BY 1) t
+  ON v.vertex = t.vertex
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (SURVEY §2.D)."""
+    from cugraph_spark import triangle_count
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    return triangle_count(g)
+
+
+# ---------------------------------------------------------------------------
+# core number (h-index fixpoint, unrolled) & k-core (peeling, unrolled)
+# ---------------------------------------------------------------------------
+
+CORE_ITERS = 60
+
+
+def _core_number_unrolled_sql(edges_cte: str, edges_name: str, iters: int) -> str:
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"h0 AS MATERIALIZED (SELECT src AS vertex, CAST(COUNT(*) AS INT) AS c FROM {edges_name} GROUP BY src),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""h{i+1} AS MATERIALIZED (
+  SELECT s.vertex, CAST(LEAST(s.c, COALESCE(hh.h, 0)) AS INT) AS c
+  FROM h{i} s
+  LEFT JOIN (
+    SELECT src AS vertex, MAX(LEAST(c, rn)) AS h FROM (
+      SELECT e.src, f.c,
+             ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY f.c DESC) AS rn
+      FROM {edges_name} e JOIN h{i} f ON e.dst = f.vertex
+    ) GROUP BY src
+  ) hh ON s.vertex = hh.vertex
+),"""
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT vertex, CAST(c AS BIGINT) AS core_number FROM h{iters}"
+
+
+@register(
+    "core_number_copurchase_sparse",
+    oracle=_core_number_unrolled_sql(COPURCHASE_SPARSE_SQL, "cps_edges", CORE_ITERS),
+)
+def q_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition numbers (SURVEY §2.A)."""
+    from cugraph_spark import core_number
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    return core_number(g)
+
+
+KCORE_K = 3
+KCORE_ITERS = 40
+
+
+def _k_core_unrolled_sql(edges_cte: str, edges_name: str, k: int, iters: int) -> str:
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM {edges_name}),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i+1} AS MATERIALIZED (
+  SELECT e.src AS v FROM {edges_name} e
+  JOIN a{i} s ON e.src = s.v
+  JOIN a{i} t ON e.dst = t.v
+  GROUP BY e.src HAVING COUNT(*) >= {k}
+),"""
+        )
+    last = f"a{iters}"
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"""
+SELECT e.src, e.dst FROM {edges_name} e
+JOIN {last} s ON e.src = s.v
+JOIN {last} t ON e.dst = t.v
+WHERE e.src < e.dst
+"""
+
+
+@register(
+    "k_core_copurchase_sparse",
+    oracle=_k_core_unrolled_sql(COPURCHASE_SPARSE_SQL, "cps_edges", KCORE_K, KCORE_ITERS),
+)
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core subgraph edge list, k=3 (SURVEY §2.A)."""
+    from cugraph_spark.cores.k_core import k_core_edges
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    return k_core_edges(g, KCORE_K)
+
+
+# ---------------------------------------------------------------------------
+# katz / eigenvector / hits / degree centrality
+# ---------------------------------------------------------------------------
+
+KATZ_ALPHA = 0.001
+KATZ_BETA = 1.0
+KATZ_ITERS = 25
+
+
+def _katz_unrolled_sql(edges_cte: str, edges_name: str, alpha: float, beta: float, iters: int) -> str:
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"verts AS MATERIALIZED (SELECT src AS v FROM {edges_name} UNION SELECT dst FROM {edges_name}),",
+        "c0 AS MATERIALIZED (SELECT v, CAST(0 AS DOUBLE) AS c FROM verts),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i+1} AS MATERIALIZED (
+  SELECT vv.v, {alpha} * COALESCE(m.s, 0) + {beta} AS c
+  FROM verts vv
+  LEFT JOIN (SELECT e.dst AS v, SUM(f.c * e.weight) AS s
+             FROM {edges_name} e JOIN c{i} f ON e.src = f.v GROUP BY e.dst) m
+    ON vv.v = m.v
+),"""
+        )
+    last = f"c{iters}"
+    parts.append(f"l2 AS MATERIALIZED (SELECT SQRT(SUM(c * c)) AS n FROM {last})")
+    body = "\n".join(parts) + "\n"
+    return body + f"SELECT v AS vertex, ROUND(c / l2.n, 6) AS katz_centrality FROM {last} CROSS JOIN l2"
+
+
+@register(
+    "katz_nation_flow",
+    oracle=_katz_unrolled_sql(NATION_FLOW_SQL, "nf_edges", KATZ_ALPHA, KATZ_BETA, KATZ_ITERS),
+)
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Katz centrality, fixed iterations, L2-normalized (SURVEY §2.C)."""
+    from cugraph_spark import katz_centrality
+
+    g = nation_flow_graph(spark, sf_dir, directed=True)
+    out = katz_centrality(
+        g, alpha=KATZ_ALPHA, beta=KATZ_BETA, max_iter=KATZ_ITERS, tol=0.0,
+        normalized=True, fail_on_nonconvergence=False,
+    )
+    return out.select("vertex", F.round("katz_centrality", 6).alias("katz_centrality"))
+
+
+EIG_ITERS = 20
+
+
+def _eigenvector_unrolled_sql(edges_cte: str, edges_name: str, iters: int) -> str:
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"verts AS MATERIALIZED (SELECT src AS v FROM {edges_name} UNION SELECT dst FROM {edges_name}),",
+        "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        "c0 AS MATERIALIZED (SELECT v.v, 1.0 / nv.n AS c FROM verts v CROSS JOIN nv),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""raw{i+1} AS MATERIALIZED (
+  SELECT vv.v, COALESCE(m.s, 0) + f0.c AS c
+  FROM verts vv
+  JOIN c{i} f0 ON vv.v = f0.v
+  LEFT JOIN (SELECT e.dst AS v, SUM(f.c * e.weight) AS s
+             FROM {edges_name} e JOIN c{i} f ON e.src = f.v GROUP BY e.dst) m
+    ON vv.v = m.v
+),
+c{i+1} AS MATERIALIZED (
+  SELECT r.v, r.c / l.n AS c
+  FROM raw{i+1} r CROSS JOIN (SELECT SQRT(SUM(c * c)) AS n FROM raw{i+1}) l
+),"""
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT v AS vertex, ROUND(c, 6) AS eigenvector_centrality FROM c{iters}"
+
+
+@register(
+    "eigenvector_nation_flow",
+    oracle=_eigenvector_unrolled_sql(NATION_FLOW_SQL, "nf_edges", EIG_ITERS),
+)
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted eigenvector centrality on (A+I), fixed iterations (SURVEY §2.C)."""
+    from cugraph_spark import eigenvector_centrality
+
+    g = nation_flow_graph(spark, sf_dir, directed=True)
+    out = eigenvector_centrality(g, max_iter=EIG_ITERS, tol=0.0, fail_on_nonconvergence=False)
+    return out.select(
+        "vertex", F.round("eigenvector_centrality", 6).alias("eigenvector_centrality")
+    )
+
+
+HITS_ITERS = 20
+
+CUST_SUPP_DIRECTED_SQL = f"""
+csd_edges AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {SUPP_OFFSET} AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+"""
+
+
+def _hits_unrolled_sql(edges_cte: str, edges_name: str, iters: int) -> str:
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"verts AS MATERIALIZED (SELECT src AS v FROM {edges_name} UNION SELECT dst FROM {edges_name}),",
+        "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        "h0 AS MATERIALIZED (SELECT v.v, 1.0 / nv.n AS h FROM verts v CROSS JOIN nv),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""ar{i+1} AS MATERIALIZED (
+  SELECT vv.v, COALESCE(m.s, 0) AS a
+  FROM verts vv
+  LEFT JOIN (SELECT e.dst AS v, SUM(f.h) AS s
+             FROM {edges_name} e JOIN h{i} f ON e.src = f.v GROUP BY e.dst) m
+    ON vv.v = m.v
+),
+hr{i+1} AS MATERIALIZED (
+  SELECT vv.v, COALESCE(m.s, 0) AS h
+  FROM verts vv
+  LEFT JOIN (SELECT e.src AS v, SUM(f.a) AS s
+             FROM {edges_name} e JOIN ar{i+1} f ON e.dst = f.v GROUP BY e.src) m
+    ON vv.v = m.v
+),
+a{i+1} AS MATERIALIZED (
+  SELECT r.v, r.a / l.m AS a FROM ar{i+1} r CROSS JOIN (SELECT MAX(a) AS m FROM ar{i+1}) l
+),
+h{i+1} AS MATERIALIZED (
+  SELECT r.v, r.h / l.m AS h FROM hr{i+1} r CROSS JOIN (SELECT MAX(h) AS m FROM hr{i+1}) l
+),"""
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"""
+SELECT hh.v AS vertex,
+       ROUND(hh.h / hs.s, 6) AS hubs,
+       ROUND(aa.a / bs.s, 6) AS authorities
+FROM h{iters} hh
+JOIN a{iters} aa ON hh.v = aa.v
+CROSS JOIN (SELECT SUM(h) AS s FROM h{iters}) hs
+CROSS JOIN (SELECT SUM(a) AS s FROM a{iters}) bs
+"""
+
+
+@register(
+    "hits_cust_supp",
+    oracle=_hits_unrolled_sql(CUST_SUPP_DIRECTED_SQL, "csd_edges", HITS_ITERS),
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the directed customer->supplier graph (SURVEY §2.C)."""
+    from cugraph_spark import Graph, hits
+
+    g = Graph(directed=True)
+    g.from_edgelist(cust_supp_pairs(spark, sf_dir), "src", "dst")
+    out = hits(g, max_iter=HITS_ITERS, tol=0.0, normalized=True)
+    return out.select(
+        "vertex", F.round("hubs", 6).alias("hubs"), F.round("authorities", 6).alias("authorities")
+    )
+
+
+@register(
+    "degree_centrality_copurchase_sparse",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM cps_edges),
+nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)
+SELECT v.vertex, ROUND(COALESCE(d.c, 0) / (nv.n - 1), 6) AS degree_centrality
+FROM verts v CROSS JOIN nv
+LEFT JOIN (SELECT src AS vertex, COUNT(*) AS c FROM cps_edges GROUP BY 1) d
+  ON v.vertex = d.vertex
+""",
+)
+def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import degree_centrality
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    out = degree_centrality(g)
+    return out.select("vertex", F.round("degree_centrality", 6).alias("degree_centrality"))
+
+
+# ---------------------------------------------------------------------------
+# induced subgraph & ego graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "induced_subgraph_copurchase_sparse",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()}
+SELECT e.src, e.dst FROM cps_pairs e
+WHERE e.src % 10 = 0 AND e.dst % 10 = 0
+""",
+)
+def q_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced subgraph on customers with key % 10 == 0 (SURVEY §2.A)."""
+    from cugraph_spark import induced_subgraph
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    verts = g.nodes().filter(F.col("vertex") % 10 == 0)
+    sub = induced_subgraph(g, verts)
+    return sub.edges().filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+@register(
+    "ego_graph_cust_supp_sparse",
+    oracle=f"""
+WITH {CUST_SUPP_SPARSE_SQL.strip()},
+seed AS MATERIALIZED (
+  SELECT MIN(src) AS v FROM css_edges WHERE src < 20000000
+),
+h1 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS v FROM css_edges e JOIN seed s ON e.src = s.v
+),
+reach AS MATERIALIZED (
+  SELECT v FROM seed
+  UNION SELECT v FROM h1
+  UNION SELECT DISTINCT e.dst FROM css_edges e JOIN h1 ON e.src = h1.v
+)
+SELECT e.src, e.dst FROM css_edges e
+JOIN reach a ON e.src = a.v
+JOIN reach b ON e.dst = b.v
+WHERE e.src < e.dst
+""",
+)
+def q_ego_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 ego net of customer 1 (SURVEY §2.A)."""
+    from cugraph_spark import ego_graph
+
+    g = cust_supp_graph(spark, sf_dir, sparse=True)
+    seed = (
+        g.nodes().filter(F.col("vertex") < 20_000_000).agg(F.min("vertex")).collect()[0][0]
+    )
+    sub = ego_graph(g, seed, radius=2)
+    return sub.edges().filter(F.col("src") < F.col("dst")).select("src", "dst")
