@@ -87,8 +87,32 @@ def __getattr__(name):
         "maximum_spanning_tree": ".tree.minimum_spanning_tree",
         "topological_sort": ".dag.topological_sort",
         "maximal_independent_set": ".components.mis",
+        "approximate_weighted_matching": ".community.matching",
         "vertex_coloring": ".components.vertex_coloring",
         "hypergraph": ".structure.hypergraph",
+        "extract_bfs_paths": ".traversal.path_retrieval",
+        "get_traversed_cost": ".traversal.path_retrieval",
+        "get_traversed_path": ".traversal.path_retrieval",
+        "get_traversed_path_list": ".traversal.path_retrieval",
+        "k_hop_nbrs": ".traversal.k_hop",
+        "od_shortest_distances": ".traversal.k_hop",
+        "relabel": ".structure.utils_ops",
+        "replicate_edgelist": ".structure.utils_ops",
+        "remove_self_loops": ".structure.utils_ops",
+        "remove_multi_edges": ".structure.utils_ops",
+        "count_multi_edges": ".structure.utils_ops",
+        "coarsen_graph": ".structure.utils_ops",
+        "transpose_graph": ".structure.utils_ops",
+        "edge_id_lookup": ".structure.utils_ops",
+        "renumber_arbitrary_edgelist": ".structure.utils_ops",
+        "from_adjlist": ".structure.convert_matrix",
+        "from_pandas_adjacency": ".structure.convert_matrix",
+        "to_pandas_adjacency": ".structure.convert_matrix",
+        "from_numpy_array": ".structure.convert_matrix",
+        "to_numpy_array": ".structure.convert_matrix",
+        "from_numpy_matrix": ".structure.convert_matrix",
+        "to_numpy_matrix": ".structure.convert_matrix",
+        "to_pandas_edgelist": ".structure.convert_matrix",
         "from_edgelist": ".structure.convert_matrix",
         "from_adjlist": ".structure.convert_matrix",
         "from_pandas_edgelist": ".structure.convert_matrix",

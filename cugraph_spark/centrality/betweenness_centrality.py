@@ -1,0 +1,203 @@
+"""Betweenness centrality (vertex and edge), exact or k-sampled Brandes.
+
+Reference: centrality/betweenness_centrality.py:16,178 and
+cpp/src/centrality/betweenness_centrality_impl.cuh (1677 LoC): BFS
+forward sweep counting shortest paths (sigma), then reverse-level
+dependency accumulation (delta). Unweighted shortest paths (the
+reference ignores weights for BFS-based betweenness).
+
+Spark mapping (SURVEY §2.C): ALL sources run concurrently — the state
+DataFrames carry a ``source`` key column (same trick as
+multi_source_bfs), so the driver loop is over BFS *levels*, not over
+sources: O(diameter) rounds of join+agg regardless of how many sources
+are sampled. Rescaling follows the public Brandes/NetworkX rules
+(factor n/k for sampling, 1/((n-1)(n-2)) directed, 2/((n-1)(n-2))
+undirected, x0.5 for undirected unnormalized).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST
+from ..plans import iterloop
+from ..structure.graph import Graph
+
+
+def _forward(edges, seeds_df):
+    """Level-synchronous sigma-counting BFS from all seeds at once.
+    Returns (visited DF (source, vertex, distance, sigma), max_depth)."""
+    visited = seeds_df.select(
+        "source", F.col("source").alias("vertex"), F.lit(0).alias("distance"),
+        F.lit(1.0).alias("sigma"),
+    )
+    visited = iterloop.materialize(visited)
+    frontier = visited
+    depth = 0
+    while True:
+        nxt = (
+            edges.join(
+                frontier.select("source", F.col("vertex").alias(SRC), "sigma"), SRC
+            )
+            .groupBy("source", F.col(DST).alias("vertex"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("source", "vertex"), ["source", "vertex"], "left_anti")
+        )
+        depth += 1
+        nxt = iterloop.materialize(
+            nxt.select("source", "vertex", F.lit(depth).alias("distance"), "sigma")
+        )
+        if nxt.count() == 0:
+            return visited, depth - 1
+        visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
+        frontier = nxt
+
+
+def _brandes(G: Graph, k, seed, want_edges: bool):
+    edges = iterloop.persist(G.edgelist.select(SRC, DST).distinct())
+    verts = G.vertices_internal
+    n = G.number_of_vertices()
+
+    if k is None:
+        seeds = verts.select(F.col("vertex").alias("source"))
+        n_sources = n
+    else:
+        seeds = (
+            verts.orderBy(F.xxhash64("vertex", F.lit(seed or 42)))
+            .limit(k)
+            .select(F.col("vertex").alias("source"))
+        )
+        n_sources = k
+    seeds = iterloop.materialize(seeds)
+
+    visited, dmax = _forward(edges, seeds)
+    visited = iterloop.persist(visited)
+
+    # backward accumulation, level by level
+    delta = visited.select("source", "vertex", F.lit(0.0).alias("delta"))
+    delta = iterloop.materialize(delta)
+    vertex_acc = None
+    edge_acc = None
+    for d in range(dmax, 0, -1):
+        wlev = (
+            visited.filter(F.col("distance") == d)
+            .join(delta, ["source", "vertex"])
+            .select("source", F.col("vertex").alias(DST), F.col("sigma").alias("_sw"),
+                    F.col("delta").alias("_dw"))
+        )
+        # edges (v -> w) with dist(v) = d-1: contribution sigma_v/sigma_w*(1+delta_w)
+        contrib = (
+            edges.join(wlev, DST)
+            .join(
+                visited.filter(F.col("distance") == d - 1)
+                .select("source", F.col("vertex").alias(SRC), F.col("sigma").alias("_sv")),
+                ["source", SRC],
+            )
+            .withColumn("_c", F.col("_sv") / F.col("_sw") * (1.0 + F.col("_dw")))
+        )
+        if want_edges:
+            elev = contrib.groupBy(SRC, DST).agg(F.sum("_c").alias("_bc"))
+            edge_acc = elev if edge_acc is None else edge_acc.unionByName(elev)
+            edge_acc = iterloop.materialize(
+                edge_acc.groupBy(SRC, DST).agg(F.sum("_bc").alias("_bc"))
+            )
+        lev_delta = contrib.groupBy("source", F.col(SRC).alias("vertex")).agg(
+            F.sum("_c").alias("_nd")
+        )
+        delta = iterloop.materialize(
+            delta.join(lev_delta, ["source", "vertex"], "left")
+            .select("source", "vertex",
+                    (F.col("delta") + F.coalesce("_nd", F.lit(0.0))).alias("delta"))
+        )
+        # vertices at level d-1 are finalized after this step; accumulate at end
+    # bc(v) = sum over sources of delta(v), excluding v == source
+    bc = (
+        delta.filter(F.col("vertex") != F.col("source"))
+        .groupBy("vertex")
+        .agg(F.sum("delta").alias("_bc"))
+    )
+    edges.unpersist()
+    visited.unpersist()
+    return bc, edge_acc, n, n_sources
+
+
+def _rescale(n: int, n_sources: int, normalized: bool, directed: bool, for_edges: bool):
+    scale = n / n_sources if n_sources else 1.0
+    if normalized:
+        if for_edges:
+            denom = n * (n - 1)
+        else:
+            denom = (n - 1) * (n - 2)
+        if denom > 0:
+            scale *= (1.0 if directed else 2.0) / denom
+        else:
+            scale *= 0.0
+    elif not directed:
+        scale *= 0.5
+    return scale
+
+
+def betweenness_centrality(
+    G: Graph,
+    k: Optional[int] = None,
+    normalized: bool = True,
+    weight=None,
+    endpoints: bool = False,
+    seed: Optional[int] = None,
+    random_state: Optional[int] = None,
+) -> DataFrame:
+    """Returns (vertex, betweenness_centrality). Unweighted-BFS Brandes,
+    exact (k=None) or k-sampled sources."""
+    if weight is not None:
+        raise NotImplementedError("weighted betweenness is not supported (reference parity)")
+    bc, _, n, n_sources = _brandes(G, k, seed if seed is not None else random_state, False)
+    scale = _rescale(n, n_sources, normalized, G.is_directed(), False)
+    out = (
+        G.vertices_internal.join(bc, "vertex", "left")
+        .select(
+            "vertex",
+            (F.coalesce("_bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness_centrality"),
+        )
+    )
+    if endpoints:
+        # each (s, t) pair adds 1 to both endpoints per reached target
+        raise NotImplementedError("endpoints=True deferred (reference default False)")
+    return G.unrenumber(out, "vertex")
+
+
+def edge_betweenness_centrality(
+    G: Graph,
+    k: Optional[int] = None,
+    normalized: bool = True,
+    weight=None,
+    seed: Optional[int] = None,
+) -> DataFrame:
+    """Returns (src, dst, betweenness_centrality) per directed edge row
+    (symmetrized rows for undirected graphs, as the reference does)."""
+    if weight is not None:
+        raise NotImplementedError("weighted betweenness is not supported (reference parity)")
+    _, ebc, n, n_sources = _brandes(G, k, seed, True)
+    base = G.edgelist.select(SRC, DST).distinct()
+    if not G.is_directed():
+        # combine both directed rows of each undirected edge; report the
+        # full undirected value on both rows (reference's symmetrized shape)
+        ebc = (
+            ebc.unionByName(
+                ebc.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "_bc")
+            )
+            .groupBy(SRC, DST)
+            .agg(F.sum("_bc").alias("_bc"))
+        )
+        scale = (n / n_sources if n_sources else 1.0) * 0.5
+        if normalized:
+            denom = n * (n - 1)
+            scale *= (2.0 / denom) if denom else 0.0
+    else:
+        scale = _rescale(n, n_sources, normalized, True, True)
+    out = base.join(ebc, [SRC, DST], "left").select(
+        SRC, DST, (F.coalesce("_bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness_centrality")
+    )
+    out = G.unrenumber(out, SRC)
+    return G.unrenumber(out, DST)

@@ -1,0 +1,72 @@
+"""ECG — ensemble clustering for graphs.
+
+Reference: community/ecg.py:10 and cpp/src/community/ecg_impl.cuh (170
+LoC): run an ensemble of one-level Louvains, re-weight each edge by the
+fraction of ensemble runs that co-cluster its endpoints (floored at
+``min_weight``), then run full Louvain on the re-weighted graph.
+
+Spark mapping: each ensemble member is one ``_one_level`` pass with a
+different hash-jittered tie-break; co-cluster counts accumulate on the
+edge list; the ensemble loop is the only sequential part.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST, WEIGHT
+from ..plans import iterloop
+from ..structure.graph import Graph
+from .louvain import _one_level, louvain
+
+
+def ecg(
+    input_graph: Graph,
+    min_weight: float = 0.05,
+    ensemble_size: int = 16,
+    max_level: int = 10,
+    max_iter: int = 20,
+    threshold: float = 1e-7,
+    resolution: float = 1.0,
+    random_state: int = 42,
+) -> tuple[DataFrame, float]:
+    """Returns ((vertex, partition), modularity_score)."""
+    G = input_graph
+    if G.is_directed():
+        raise ValueError("input graph must be undirected")
+    w = F.col(WEIGHT) if G.is_weighted() else F.lit(1.0)
+    base = iterloop.materialize(G.edgelist.select(SRC, DST, w.alias("_w")))
+
+    votes = base.select(SRC, DST, F.lit(0).alias("_votes"))
+    for i in range(ensemble_size):
+        # jitter: permute effective tie-breaks by hashing vertex ids with
+        # the run index (one-level louvain is tie-break sensitive, which
+        # is exactly the ensemble diversity ECG exploits)
+        jitter = (
+            F.pmod(F.xxhash64(SRC, F.lit(random_state + i)), F.lit(1000)).cast("double")
+            / 1e9
+        )
+        jittered = base.select(SRC, DST, (F.col("_w") * (1.0 + jitter)).alias("_w"))
+        assign, _ = _one_level(jittered, resolution, 3, threshold)
+        co = (
+            base.select(SRC, DST)
+            .join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_ca")), SRC)
+            .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cb")), DST)
+            .select(SRC, DST, (F.col("_ca") == F.col("_cb")).cast("int").alias("_co"))
+        )
+        votes = iterloop.materialize(
+            votes.join(co, [SRC, DST])
+            .select(SRC, DST, (F.col("_votes") + F.col("_co")).alias("_votes"))
+        )
+
+    reweighted = votes.select(
+        SRC, DST,
+        (F.lit(min_weight) + (1.0 - min_weight) * F.col("_votes") / ensemble_size).alias(
+            "weight"
+        ),
+    )
+    ext = G.unrenumber(G.unrenumber(reweighted, SRC), DST)
+    g2 = Graph(directed=False)
+    g2.from_edgelist(ext, SRC, DST, weight="weight", symmetrize=False)
+    return louvain(g2, max_level=max_level, max_iter=max_iter,
+                   resolution=resolution, threshold=threshold)

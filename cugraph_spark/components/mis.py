@@ -1,0 +1,58 @@
+"""Maximal independent set (Luby's algorithm).
+
+Reference: C++ only — cpp/src/components/mis_impl.cuh (SURVEY §2.A:
+"IterLoop (Luby's): rand priority per vertex, keep local maxima, remove
+neighbors"). Priorities are ``xxhash64(vertex, seed)`` — deterministic
+given the seed, fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST
+from ..plans import iterloop
+from ..structure.graph import Graph
+
+
+def maximal_independent_set(G: Graph, seed: int = 42) -> DataFrame:
+    """Returns a single-column (vertex) DataFrame — a maximal independent
+    set (no two members adjacent; every non-member has a member neighbor)."""
+    edges = G.edgelist.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+    if G.is_directed():
+        from ..structure.symmetrize import add_reverse_edges
+
+        edges = add_reverse_edges(edges).distinct()
+    edges = iterloop.persist(edges)
+    active = iterloop.materialize(G.vertices_internal.select("vertex"))
+    mis = None
+
+    while active.count() > 0:
+        pri = active.select("vertex", F.xxhash64("vertex", F.lit(seed)).alias("_p"))
+        nbr_min = (
+            edges.join(pri.select(F.col("vertex").alias(SRC), "_p"), SRC)
+            .join(active.withColumnRenamed("vertex", DST), DST, "left_semi")
+            .groupBy(F.col(DST).alias("vertex"))
+            .agg(F.min("_p").alias("_np"))
+        )
+        winners = (
+            pri.join(nbr_min, "vertex", "left")
+            .filter(F.col("_np").isNull() | (F.col("_p") < F.col("_np")))
+            .select("vertex")
+        )
+        winners = iterloop.materialize(winners)
+        mis = winners if mis is None else mis.unionByName(winners)
+        mis = iterloop.materialize(mis)
+        # remove winners and their neighbors
+        nbrs = (
+            edges.join(winners.withColumnRenamed("vertex", SRC), SRC, "left_semi")
+            .select(F.col(DST).alias("vertex"))
+            .distinct()
+        )
+        active = iterloop.materialize(
+            active.join(winners, "vertex", "left_anti").join(nbrs, "vertex", "left_anti")
+        )
+        seed += 1
+
+    edges.unpersist()
+    return G.unrenumber(mis, "vertex")

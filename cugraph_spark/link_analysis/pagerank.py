@@ -138,10 +138,20 @@ def _pagerank_impl(
         state = state.withColumn("_rank", F.lit(1.0 / n))
 
     state = iterloop.materialize(state)
-    (dangling_sum,) = iterloop.collect_scalars(
-        state, [F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0))]
-    )
+    # has_dangling decided once: symmetrized undirected graphs never have
+    # dangling vertices, and without them (and with tol=0, i.e. a fixed
+    # iteration count) the loop needs NO per-iteration driver sync — the
+    # iterations stay lazy and lineage is cut every few rounds, collapsing
+    # 30 iterations into ~6 Spark jobs instead of 90.
+    (n_dangling,) = iterloop.collect_scalars(state, [F.sum(F.col("_dang").cast("long"))])
+    has_dangling = bool(n_dangling)
+    dangling_sum = 0.0
+    if has_dangling:
+        (dangling_sum,) = iterloop.collect_scalars(
+            state, [F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0))]
+        )
 
+    need_sync_every_iter = has_dangling or tol > 0
     converged = False
     for it in range(max_iter):
         msgs = (
@@ -159,18 +169,22 @@ def _pagerank_impl(
                 ).alias("_rank"),
             )
         )
-        new_state = iterloop.materialize(new_state)
-        delta, dangling_sum = iterloop.collect_scalars(
-            new_state,
-            [
-                F.sum(F.abs(F.col("_rank") - F.col("_prev"))),
-                F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0)),
-            ],
-        )
+        if need_sync_every_iter:
+            new_state = iterloop.materialize(new_state)
+            delta, dangling_sum = iterloop.collect_scalars(
+                new_state,
+                [
+                    F.sum(F.abs(F.col("_rank") - F.col("_prev"))),
+                    F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0)),
+                ],
+            )
+            if tol > 0 and delta is not None and delta < tol:
+                state = new_state.select("vertex", "_p", "_dang", "_rank")
+                converged = True
+                break
+        else:
+            new_state = iterloop.truncate_lineage(new_state, it + 1, 5)
         state = new_state.select("vertex", "_p", "_dang", "_rank")
-        if tol > 0 and delta is not None and delta < tol:
-            converged = True
-            break
 
     norm_edges.unpersist()
     out = state.select("vertex", F.col("_rank").alias("pagerank"))

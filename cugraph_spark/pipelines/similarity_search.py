@@ -1,0 +1,156 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Beyond-reference (SURVEY §7 Phase 4): brute-force cosine top-k as the
+exact baseline, plus a random-hyperplane LSH-bucketed variant as the
+scale path (Charikar SimHash LSH for cosine — public scheme).
+
+All vector math is JVM-side (``zip_with`` + ``aggregate`` over
+array<float/double> columns) — no Python UDF in the hot path. The
+brute-force path is O(|Q|·|C|) rows with Q broadcast; the LSH path
+shuffles each side once on the bucket signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
+    a, b = F.col(a_col), F.col(b_col)
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine), k rows per query.
+    Ties broken by vec_id for determinism. Queries are broadcast — the
+    corpus is scanned exactly once regardless of |Q|."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (driver-side,
+    tiny: n_planes x dim floats, shipped as a literal)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_signatures(
+    df: DataFrame, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Adds a ``bucket`` column: sign-bit signature of dot products with
+    the hyperplanes."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(_dot(F.col(vec_col), arr) >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return df.withColumn("bucket", sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: only candidates in the query's bucket
+    (plus ``multiprobe`` single-bit-flip neighbor buckets) are scored.
+    Approximate: recall < 1; the scale path when |Q|·|C| is infeasible."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = lsh_bucket_signatures(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")), "_cv", planes
+    )
+    q = lsh_bucket_signatures(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv",
+        planes,
+    )
+    if multiprobe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(min(multiprobe * n_planes, n_planes))],
+        )
+        q = q.select("query_id", "_qv", F.explode(probes).alias("bucket"))
+    scored = q.join(c, "bucket").select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
+            "cosine"
+        ),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed
+    (pairs must agree on all hyperplane signs — high-cosine pairs almost
+    always do). Returns (first, second, cosine)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = lsh_bucket_signatures(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v", planes
+    )
+    a = c.select(F.col("_id").alias("first"), F.col("_v").alias("_va"), "bucket")
+    b = c.select(F.col("_id").alias("second"), F.col("_v").alias("_vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("first") < F.col("second"))
+    return (
+        pairs.select(
+            "first",
+            "second",
+            (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

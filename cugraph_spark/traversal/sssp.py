@@ -69,9 +69,14 @@ def sssp(
         improved = iterloop.materialize(improved)
         if improved.count() == 0:
             break
-        dist = (
-            dist.join(improved.select("vertex"), "vertex", "left_anti")
-            .unionByName(improved)
+        # single outer-join update (one shuffle) instead of anti-join+union
+        upd = improved.select(
+            "vertex", F.col("distance").alias("_nd"), F.col("predecessor").alias("_np")
+        )
+        dist = dist.join(upd, "vertex", "full_outer").select(
+            "vertex",
+            F.coalesce("_nd", F.col("distance")).alias("distance"),
+            F.coalesce("_np", F.col("predecessor")).alias("predecessor"),
         )
         it += 1
         dist = iterloop.truncate_lineage(dist, it, 3)

@@ -1,0 +1,114 @@
+"""Minimum / maximum spanning tree (forest) — Borůvka.
+
+Reference: tree/minimum_spanning_tree.py:67,106 (returns a Graph), legacy
+cpp/src/tree/legacy/mst.cu.
+
+Spark mapping (SURVEY §2.A): IterLoop Borůvka — per component pick the
+minimum outgoing edge (``groupBy(component).min(struct(w, src, dst))``,
+total order breaks weight ties deterministically), add to forest, merge
+components by propagating min labels over the chosen merge edges until
+stable (the merge graph has <= one edge per component, so this inner
+fixpoint is tiny). O(log V) outer rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..constants import SRC, DST, WEIGHT
+from ..plans import iterloop
+from ..structure.graph import Graph
+
+
+def _boruvka(G: Graph, sign: float) -> DataFrame:
+    if G.is_directed():
+        raise ValueError("input graph must be undirected")
+    if not G.is_weighted():
+        raise ValueError("input graph must be weighted")
+    edges = G.edgelist.select(SRC, DST, (F.col(WEIGHT) * sign).alias("_w")).filter(
+        F.col(SRC) != F.col(DST)
+    )
+    edges = iterloop.persist(edges)
+    comp = G.vertices_internal.select("vertex", F.col("vertex").alias("comp"))
+    comp = iterloop.materialize(comp)
+    chosen = None
+
+    while True:
+        e = (
+            edges.join(comp.select(F.col("vertex").alias(SRC), F.col("comp").alias("_cs")), SRC)
+            .join(comp.select(F.col("vertex").alias(DST), F.col("comp").alias("_cd")), DST)
+            .filter(F.col("_cs") != F.col("_cd"))
+        )
+        pick = (
+            e.groupBy("_cs")
+            .agg(F.min(F.struct("_w", SRC, DST, "_cd")).alias("_m"))
+            .select(
+                F.col("_cs"),
+                F.col("_m._w").alias("_w"),
+                F.col("_m.src").alias(SRC),
+                F.col("_m.dst").alias(DST),
+                F.col("_m._cd").alias("_cd"),
+            )
+        )
+        pick = iterloop.materialize(pick)
+        if pick.count() == 0:
+            break
+        # dedup the (u,v)/(v,u) double-pick of the same undirected edge
+        new_edges = pick.select(
+            F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST), F.abs("_w").alias(WEIGHT)
+        ).distinct()
+        chosen = new_edges if chosen is None else chosen.unionByName(new_edges).distinct()
+        chosen = iterloop.materialize(chosen)
+
+        # merge components: min-label propagation over the merge pairs
+        merge = pick.select(F.col("_cs").alias("a"), F.col("_cd").alias("b"))
+        merge = merge.unionByName(merge.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        merge = iterloop.materialize(merge.distinct())
+        labels = merge.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("lab")
+        )
+        labels = iterloop.materialize(labels)
+        while True:
+            nbr = (
+                merge.join(labels.select(F.col("node").alias("a"), "lab"), "a")
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("lab").alias("_n"))
+            )
+            upd = labels.join(nbr, "node", "left").select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("_n", F.col("lab"))).alias("lab"),
+                F.col("lab").alias("_o"),
+            )
+            upd = iterloop.materialize(upd)
+            (ch,) = iterloop.collect_scalars(upd, [F.sum((F.col("lab") != F.col("_o")).cast("long"))])
+            labels = upd.select("node", "lab")
+            if not ch:
+                break
+        comp = iterloop.materialize(
+            comp.join(labels.withColumnRenamed("node", "comp"), "comp", "left")
+            .select("vertex", F.coalesce("lab", F.col("comp")).alias("comp"))
+        )
+
+    edges.unpersist()
+    if chosen is None:
+        return G.edgelist.sparkSession.createDataFrame(
+            [], f"{SRC} long, {DST} long, {WEIGHT} double"
+        )
+    return chosen
+
+
+def minimum_spanning_tree(G: Graph, weight=None, algorithm="boruvka", ignore_nan=False) -> Graph:
+    """Returns the MSF as a Graph (reference returns a Graph too)."""
+    mst_edges = _boruvka(G, 1.0)
+    ext = G.unrenumber(G.unrenumber(mst_edges, SRC), DST)
+    out = Graph(directed=False)
+    out.from_edgelist(ext, SRC, DST, weight=WEIGHT)
+    return out
+
+
+def maximum_spanning_tree(G: Graph, weight=None, algorithm="boruvka", ignore_nan=False) -> Graph:
+    mst_edges = _boruvka(G, -1.0)
+    ext = G.unrenumber(G.unrenumber(mst_edges, SRC), DST)
+    out = Graph(directed=False)
+    out.from_edgelist(ext, SRC, DST, weight=WEIGHT)
+    return out

@@ -989,3 +989,665 @@ def q_ego_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub = ego_graph(g, seed, radius=2)
     return sub.edges().filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline operators (beyond-reference, SURVEY §7 Phase 4): dedup / text /
+# embeddings — oracles over the documents/embeddings tables.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS _h FROM documents),
+g AS MATERIALIZED (
+    SELECT _h, MIN(doc_id) AS group_id, COUNT(*) AS group_size FROM h GROUP BY _h
+)
+SELECT h.doc_id, g.group_id, g.group_size,
+       h.doc_id = g.group_id AS is_canonical
+FROM h JOIN g ON h._h = g._h
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (training-data pipeline op)."""
+    from cugraph_spark.pipelines.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+MINHASH_K = 4       # word-shingle size
+MINHASH_H = 16      # permutations
+MINHASH_BANDS = 8   # -> 2 rows per band
+
+
+def _minhash_coefs(num_hashes: int, seed: int = 42):
+    import random
+
+    from cugraph_spark.pipelines.dedup import PERM_COEF_MAX
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, PERM_COEF_MAX), rng.randrange(PERM_COEF_MAX)) for _ in range(num_hashes)]
+
+
+def _minhash_oracle_sql(k: int, num_hashes: int, bands: int, seed: int = 42) -> str:
+    from cugraph_spark.pipelines.dedup import PERM_P
+
+    coefs = _minhash_coefs(num_hashes, seed)
+    mins = ",\n    ".join(
+        f"MIN((CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) * {a} + {b}) % {PERM_P}) AS m{i}"
+        for i, (a, b) in enumerate(coefs)
+    )
+    rows = num_hashes // bands
+    band_exprs = ",\n    ".join(
+        "md5(concat_ws('-', "
+        + ", ".join(f"m{b * rows + j}::VARCHAR" for j in range(rows))
+        + f")) AS b{b}"
+        for b in range(bands)
+    )
+    band_union = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bsig FROM sigs" for b in range(bands)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+    FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i) idx
+    WHERE i <= greatest(len(t) - {k - 1}, 1)
+),
+sigraw AS MATERIALIZED (
+    SELECT doc_id,
+    {mins}
+    FROM sh GROUP BY doc_id
+),
+sigs AS MATERIALIZED (
+    SELECT doc_id,
+    {band_exprs}
+    FROM sigraw
+),
+banded AS MATERIALIZED (
+    {band_union}
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS first, b.doc_id AS second
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+    WHERE a.doc_id < b.doc_id
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+    SELECT c.first, c.second, COUNT(*) AS i
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.first
+    JOIN sh b ON b.doc_id = c.second AND b.shingle = a.shingle
+    GROUP BY c.first, c.second
+)
+SELECT c.first, c.second,
+       ROUND(COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jaccard
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.first
+JOIN sizes sb ON sb.doc_id = c.second
+LEFT JOIN inter i ON i.first = c.first AND i.second = c.second
+"""
+
+
+@register("minhash_lsh_documents", oracle=_minhash_oracle_sql(MINHASH_K, MINHASH_H, MINHASH_BANDS))
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with exact shingle jaccard."""
+    from cugraph_spark.pipelines.dedup import shingles, minhash_signatures, minhash_lsh_candidates, verify_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", MINHASH_K).persist()
+    sig = minhash_signatures(sh, MINHASH_H, "doc_id", 42)
+    cand = minhash_lsh_candidates(sig, MINHASH_BANDS, "doc_id")
+    out = verify_jaccard(sh, cand, "doc_id")
+    return out.select("first", "second", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_oracle_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(60))
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+),
+hashed AS MATERIALIZED (
+    SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+),
+sums AS MATERIALIZED (
+    SELECT doc_id,
+    {bit_sums}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM sums
+"""
+
+
+@register("simhash_documents", oracle=_simhash_oracle_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (top 4 bits always 0: 60-bit hash)."""
+    from cugraph_spark.pipelines.dedup import simhash_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+@register(
+    "text_stats_documents",
+    oracle=r"""
+WITH base AS MATERIALIZED (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+           length(text) AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND((n_chars - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) * 1.0)
+             / greatest(n_chars, 1), 6) AS punct_ratio,
+       ROUND((n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) * 1.0)
+             / greatest(n_chars, 1), 6) AS digit_ratio,
+       ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0
+             / greatest(len(words), 1), 6) AS mean_word_len,
+       ROUND(len(list_filter(words, w -> list_contains(
+             ['the','and','of','to','in','is','that','it','was','for'], w))) * 1.0
+             / greatest(len(words), 1), 6) AS stopword_ratio
+FROM base
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality features over documents."""
+    from cugraph_spark.pipelines.text import token_counts, quality_scores
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_scores(token_counts(docs))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "punct_ratio", "digit_ratio", "mean_word_len", "stopword_ratio",
+    )
+
+
+@register(
+    "lang_id_documents",
+    oracle=r"""
+WITH base AS MATERIALIZED (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+),
+scored AS MATERIALIZED (
+    SELECT doc_id,
+      len(list_filter(words, w -> list_contains(['the','and','of','to','in','is','that','it','was','for'], w))) AS s_en,
+      len(list_filter(words, w -> list_contains(['der','die','das','und','ist','von','zu','mit','den','nicht'], w))) AS s_de,
+      len(list_filter(words, w -> list_contains(['le','la','les','de','et','est','un','une','que','pour'], w))) AS s_fr,
+      len(list_filter(words, w -> list_contains(['el','la','los','de','y','es','un','una','que','por'], w))) AS s_es
+    FROM base
+)
+SELECT doc_id,
+       CASE
+         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+         WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         WHEN s_en >= s_de THEN 'en'
+         ELSE 'de'
+       END AS lang_pred
+FROM scored
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID. Tie order matches F.greatest(struct):
+    later-listed language wins ties (es > fr > en > de by list order)."""
+    from cugraph_spark.pipelines.text import language_id
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+@register(
+    "embed_topk_brute",
+    oracle="""
+WITH corpus AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+queries AS MATERIALIZED (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 10
+),
+scored AS MATERIALIZED (
+    SELECT q.query_id, c.vec_id,
+           list_dot_product(q.q, c.v)
+             / (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+    FROM queries q CROSS JOIN corpus c
+),
+ranked AS MATERIALIZED (
+    SELECT query_id, vec_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+    FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 5) AS cosine FROM ranked WHERE rn <= 5
+""",
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (ANN baseline)."""
+    from cugraph_spark.pipelines.similarity_search import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+@register("embed_topk_lsh")  # approximate: rows-only check (no exact oracle)
+def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; approximate → rows-only check)."""
+    from cugraph_spark.pipelines.similarity_search import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, q, k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality — exact unrolled-Brandes SQL oracle (forward
+# sigma-BFS + backward dependency accumulation, all sources at once).
+# ---------------------------------------------------------------------------
+
+BC_DEPTH = 8
+
+NATION_UND_SQL = """
+nfu_pairs AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM nf_edges WHERE src <> dst GROUP BY 1, 2
+),
+und_edges AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM nfu_pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM nfu_pairs
+)
+"""
+
+
+def _betweenness_unrolled_sql(depth: int) -> str:
+    parts = [
+        f"WITH {NATION_FLOW_SQL.strip()},",
+        f"{NATION_UND_SQL.strip()},",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und_edges),",
+        "f0 AS MATERIALIZED (SELECT v AS source, v AS vertex, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM verts),",
+    ]
+    for d in range(depth):
+        parts.append(
+            f"""f{d+1} AS MATERIALIZED (
+  SELECT * FROM f{d}
+  UNION ALL
+  SELECT n.source, n.vertex, {d + 1} AS dist, n.sigma FROM (
+    SELECT f.source, e.dst AS vertex, SUM(f.sigma) AS sigma
+    FROM und_edges e JOIN f{d} f ON e.src = f.vertex AND f.dist = {d}
+    GROUP BY f.source, e.dst
+  ) n
+  LEFT JOIN f{d} seen ON seen.source = n.source AND seen.vertex = n.vertex
+  WHERE seen.vertex IS NULL
+),"""
+        )
+    fwd = f"f{depth}"
+    parts.append(f"d{depth} AS MATERIALIZED (SELECT source, vertex, dist, sigma, CAST(0 AS DOUBLE) AS delta FROM {fwd}),")
+    for d in range(depth, 0, -1):
+        parts.append(
+            f"""d{d-1} AS MATERIALIZED (
+  SELECT s.source, s.vertex, s.dist, s.sigma,
+         s.delta + COALESCE(c.contrib, 0) AS delta
+  FROM d{d} s
+  LEFT JOIN (
+    SELECT w.source, e.src AS vertex,
+           SUM(v.sigma / w.sigma * (1 + w.delta)) AS contrib
+    FROM und_edges e
+    JOIN d{d} w ON w.vertex = e.dst AND w.dist = {d}
+    JOIN d{d} v ON v.source = w.source AND v.vertex = e.src AND v.dist = {d - 1}
+    GROUP BY w.source, e.src
+  ) c ON c.source = s.source AND c.vertex = s.vertex
+),"""
+        )
+    parts.append(
+        """bc AS MATERIALIZED (
+  SELECT vertex, SUM(delta) AS raw FROM d0 WHERE vertex <> source GROUP BY vertex
+),
+nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)"""
+    )
+    body = "\n".join(parts) + "\n"
+    # undirected normalized: raw * 2 / ((n-1)(n-2)) with the 0.5 pair-double
+    # factor folded in -> raw / ((n-1)(n-2))
+    return body + """
+SELECT vv.v AS vertex,
+       ROUND(COALESCE(b.raw, 0) / ((nv.n - 1) * (nv.n - 2)), 6) AS betweenness_centrality
+FROM verts vv CROSS JOIN nv
+LEFT JOIN bc b ON vv.v = b.vertex
+"""
+
+
+@register("betweenness_nation_und", oracle=_betweenness_unrolled_sql(BC_DEPTH))
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact normalized betweenness on the undirected nation graph
+    (SURVEY §2.C), vs an unrolled-Brandes SQL oracle."""
+    from cugraph_spark import Graph
+    from cugraph_spark.centrality.betweenness_centrality import betweenness_centrality
+
+    und = (
+        nation_flow_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    g = Graph(directed=False)
+    g.from_edgelist(und, "src", "dst")
+    out = betweenness_centrality(g, normalized=True)
+    return out.select(
+        "vertex", F.round("betweenness_centrality", 6).alias("betweenness_centrality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Topological sort on the region -> nation -> supplier DAG
+# ---------------------------------------------------------------------------
+
+REGION_OFFSET = 30_000_000
+
+DAG_SQL = f"""
+dag_edges AS MATERIALIZED (
+    SELECT n_regionkey + {REGION_OFFSET} AS src, CAST(n_nationkey AS BIGINT) AS dst FROM nation
+    UNION ALL
+    SELECT CAST(s_nationkey AS BIGINT) AS src, s_suppkey + {SUPP_OFFSET} AS dst FROM supplier
+)
+"""
+
+
+@register(
+    "topo_sort_dag",
+    oracle=f"""
+WITH {DAG_SQL.strip()},
+verts AS MATERIALIZED (SELECT src AS v FROM dag_edges UNION SELECT dst FROM dag_edges)
+SELECT v AS vertex,
+       CAST(CASE WHEN v >= {REGION_OFFSET} THEN 0
+                 WHEN v >= {SUPP_OFFSET} THEN 2
+                 ELSE 1 END AS INT) AS level
+FROM verts
+""",
+)
+def q_topo_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kahn layers on a 3-level star-schema DAG (SURVEY §2.A)."""
+    from cugraph_spark import Graph, topological_sort
+
+    n = _read(spark, sf_dir, "nation")
+    s = _read(spark, sf_dir, "supplier")
+    e = n.select(
+        (F.col("n_regionkey") + F.lit(REGION_OFFSET)).alias("src"),
+        F.col("n_nationkey").cast("long").alias("dst"),
+    ).unionByName(
+        s.select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            (F.col("s_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+        )
+    )
+    g = Graph(directed=True)
+    g.from_edgelist(e, "src", "dst")
+    return topological_sort(g)
+
+
+# ---------------------------------------------------------------------------
+# k-hop neighborhoods & OD shortest distances
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k_hop_cust_supp_sparse",
+    oracle=f"""
+WITH {CUST_SUPP_SPARSE_SQL.strip()},
+seeds AS MATERIALIZED (
+    SELECT src AS s FROM css_edges WHERE src < 20000000 GROUP BY src ORDER BY src LIMIT 5
+),
+h1 AS MATERIALIZED (
+    SELECT sd.s, e.dst AS v FROM css_edges e JOIN seeds sd ON e.src = sd.s GROUP BY sd.s, e.dst
+),
+h2 AS MATERIALIZED (
+    SELECT h.s, e.dst AS v FROM css_edges e JOIN h1 h ON e.src = h.v GROUP BY h.s, e.dst
+)
+SELECT s AS start, v AS vertex FROM (
+    SELECT s, v FROM h1 UNION SELECT s, v FROM h2
+) WHERE v <> s
+""",
+)
+def q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhoods of the 5 smallest customers (SURVEY §2.B)."""
+    from cugraph_spark.traversal.k_hop import k_hop_nbrs
+
+    g = cust_supp_graph(spark, sf_dir, sparse=True)
+    seeds = [
+        r["vertex"]
+        for r in g.nodes().filter(F.col("vertex") < 20_000_000).orderBy("vertex").limit(5).collect()
+    ]
+    return k_hop_nbrs(g, seeds, 2)
+
+
+def _od_unrolled_sql(iters: int) -> str:
+    parts = [
+        f"WITH {NATION_FLOW_SQL.strip()},",
+        "d0 AS MATERIALIZED (SELECT src AS origin, src AS v, CAST(0 AS DOUBLE) AS dist FROM (SELECT DISTINCT src FROM nf_edges WHERE src IN (0, 1, 2))),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""d{i+1} AS MATERIALIZED (
+  SELECT origin, v, MIN(dist) AS dist FROM (
+    SELECT origin, v, dist FROM d{i}
+    UNION ALL
+    SELECT f.origin, e.dst AS v, f.dist + e.weight AS dist
+    FROM nf_edges e JOIN d{i} f ON e.src = f.v
+  ) GROUP BY origin, v
+),"""
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"""
+SELECT origin, v AS destination, ROUND(dist, 6) AS distance
+FROM d{iters} WHERE v IN (5, 6, 7, 8, 9)
+"""
+
+
+@register("od_distances_nation", oracle=_od_unrolled_sql(26))
+def q_od_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination weighted distances, origins {0,1,2} ->
+    destinations {5..9} (SURVEY §2.B od_shortest_distances)."""
+    from cugraph_spark.traversal.k_hop import od_shortest_distances
+
+    g = nation_flow_graph(spark, sf_dir, directed=True)
+    out = od_shortest_distances(g, [0, 1, 2], [5, 6, 7, 8, 9])
+    return out.select("origin", "destination", F.round("distance", 6).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# hypergraph on the nation table (string composite ids)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hypergraph_nation",
+    oracle="""
+WITH rows_h AS MATERIALIZED (
+    SELECT md5(concat_ws(chr(31), n_nationkey::VARCHAR, n_name, n_regionkey::VARCHAR)) AS h,
+           n_name, n_regionkey
+    FROM nation
+)
+SELECT 'event::' || h AS src, 'n_name::' || n_name AS dst FROM rows_h
+UNION ALL
+SELECT 'event::' || h AS src, 'n_regionkey::' || n_regionkey::VARCHAR AS dst FROM rows_h
+""",
+)
+def q_hypergraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypergraph melt of the nation table (SURVEY §1.4)."""
+    from cugraph_spark.structure.hypergraph import hypergraph
+
+    n = _read(spark, sf_dir, "nation")
+    out = hypergraph(n, columns=["n_name", "n_regionkey"])
+    return out["edges"]
+
+
+# ---------------------------------------------------------------------------
+# Seeded / stochastic / non-SQL-expressible operators -> rows-only checks
+# (the driver records the weaker check; determinism is still pytest-verified)
+# ---------------------------------------------------------------------------
+
+
+@register("louvain_copurchase_sparse")
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import louvain
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    parts, _q = louvain(g, max_level=3, max_iter=6)
+    return parts
+
+
+@register("leiden_copurchase_sparse")
+def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import leiden
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    parts, _q = leiden(g, max_level=2)
+    return parts
+
+
+@register("wcc_scc_nation")
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import strongly_connected_components
+
+    g = nation_flow_graph(spark, sf_dir, directed=True)
+    return strongly_connected_components(g)
+
+
+@register("mst_part_supp")
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import Graph, minimum_spanning_tree
+
+    l = _read(spark, sf_dir, "lineitem")
+    ps = l.groupBy(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+    ).agg(F.sum("l_quantity").alias("weight"))
+    g = Graph(directed=False)
+    g.from_edgelist(ps, "src", "dst", weight="weight")
+    t = minimum_spanning_tree(g)
+    return t.edges().filter(F.col("src") < F.col("dst")).select("src", "dst", "weight")
+
+
+@register("ktruss_copurchase_sparse")
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark.community.ktruss_subgraph import k_truss_edges
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    return k_truss_edges(g, 4)
+
+
+@register("mis_copurchase_sparse")
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import maximal_independent_set
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    return maximal_independent_set(g, seed=42)
+
+
+@register("vertex_coloring_copurchase_sparse")
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import vertex_coloring
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    return vertex_coloring(g, seed=42)
+
+
+@register("matching_part_supp")
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import Graph, approximate_weighted_matching
+
+    l = _read(spark, sf_dir, "lineitem")
+    ps = l.groupBy(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+    ).agg(F.sum("l_quantity").alias("weight"))
+    g = Graph(directed=False)
+    g.from_edgelist(ps, "src", "dst", weight="weight")
+    return approximate_weighted_matching(g)
+
+
+@register("random_walks_cust_supp")
+def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import uniform_random_walks
+
+    g = cust_supp_graph(spark, sf_dir)
+    starts = [r["vertex"] for r in g.nodes().orderBy("vertex").limit(20).collect()]
+    out = uniform_random_walks(g, starts, 4)
+    return out.select(
+        "walk_id",
+        F.concat_ws("-", F.col("vertex_path").cast("array<string>")).alias("path"),
+        "path_length",
+    )
+
+
+@register("neighbor_sample_cust_supp")
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import homogeneous_neighbor_sample
+
+    g = cust_supp_graph(spark, sf_dir)
+    starts = [r["vertex"] for r in g.nodes().filter(F.col("vertex") < 20_000_000).orderBy("vertex").limit(10).collect()]
+    return homogeneous_neighbor_sample(g, starts, [3, 2], with_batch_ids=True)
+
+
+@register("negative_sampling_cust_supp")
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import negative_sampling
+
+    g = cust_supp_graph(spark, sf_dir)
+    return negative_sampling(g, 200, exact_number_of_samples=True)
+
+
+@register("rmat_scale12")
+def q_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark import rmat
+
+    return rmat(12, 1 << 14, seed=42, spark=spark)
+
+
+@register("ego_batched_cust_supp")
+def q_batched_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark.community.egonet import batched_ego_graphs
+
+    g = cust_supp_graph(spark, sf_dir, sparse=True)
+    seeds = [r["vertex"] for r in g.nodes().filter(F.col("vertex") < 20_000_000).orderBy("vertex").limit(3).collect()]
+    return batched_ego_graphs(g, seeds, radius=1)
+
+
+@register("streaming_edges_events")
+def q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed edge aggregation of the events stream (batch-equivalent
+    plan of the Structured Streaming pipeline; events ts is NANOS parquet,
+    so load via pyarrow)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cugraph_spark.streaming.edge_stream import events_to_edges
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(idx, "ts", t["ts"].cast(pa.timestamp("us"), safe=False))
+    events = spark.createDataFrame(t.to_pandas())
+    edges = events_to_edges(events)
+    return (
+        edges.groupBy(F.window("ts", "1 day").alias("w"), "src", "dst", "edge_label")
+        .agg(F.round(F.sum("weight"), 6).alias("weight"), F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("window_start"),
+                "src", "dst", "edge_label", "weight", "n_events")
+    )

@@ -1,0 +1,177 @@
+"""Dedup / ANN / text / multimodal pipeline tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cugraph_spark.pipelines.dedup import (
+    exact_duplicates,
+    shingles,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    minhash_lsh_duplicates,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+from cugraph_spark.pipelines.similarity_search import (
+    brute_force_topk,
+    lsh_topk,
+    embedding_near_duplicates,
+)
+from cugraph_spark.pipelines.text import (
+    token_counts,
+    quality_scores,
+    language_id,
+    document_fingerprints,
+)
+from cugraph_spark.pipelines.multimodal import (
+    decode_images,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra tail words here"),  # near dup of 1
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "der hund und die katze sind nicht zu haus mit den kindern"),
+        (6, "12345 67890 !!! ??? ###"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = {r["doc_id"]: (r["group_id"], r["group_size"], r["is_canonical"]) for r in exact_duplicates(docs).collect()}
+    assert out[1] == (1, 2, True)
+    assert out[2] == (1, 2, False)
+    assert out[3][1] == 1
+
+
+def test_minhash_lsh_near_dups(docs):
+    out = minhash_lsh_duplicates(docs, threshold=0.3, k=3).collect()
+    pairs = {(r["first"], r["second"]) for r in out}
+    assert (1, 2) in pairs  # identical docs always collide, jaccard 1.0
+    j = {(r["first"], r["second"]): r["jaccard"] for r in out}
+    assert j[(1, 2)] == pytest.approx(1.0)
+    # near-dup 1-3 should be found with high probability given 32 hashes
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_minhash_candidates_vs_exact_jaccard(docs):
+    sh = shingles(docs, k=2)
+    sig = minhash_signatures(sh, num_hashes=16)
+    assert sig.count() == 6
+    assert len(sig.first()["sig"]) == 16
+    cand = minhash_lsh_candidates(sig, bands=4)
+    assert {tuple(r) for r in cand.collect()} >= {(1, 2)}
+
+
+def test_simhash(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+    out = simhash_near_duplicates(docs, max_hamming=10)
+    pairs = {(r["first"], r["second"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard(docs, spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["first", "second"])
+    out = {(r["first"], r["second"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(1, 4)] < 0.5
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(8)]))
+    # vec 100 = vec 0 scaled (cosine 1), vec 101 = near vec 1
+    rows.append((100, [2 * x for x in rows[0][1]]))
+    rows.append((101, [x + 0.01 for x in rows[1][1]]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.filter(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(vectors, q, k=2)
+    rows = {(r["query_id"], r["vec_id"]): r["cosine"] for r in out.collect()}
+    # top-1 for query 0 is itself (cos 1), then 100 (scaled copy, cos 1)
+    assert rows[(0, 0)] == pytest.approx(1.0)
+    assert rows[(0, 100)] == pytest.approx(1.0)
+    assert rows[(1, 1)] == pytest.approx(1.0)
+    assert (1, 101) in rows
+
+
+def test_lsh_topk_recalls_identical(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(vectors, q, k=3, n_planes=6)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 0 in ids and 100 in ids  # same-direction vectors share every bucket
+
+
+def test_embedding_near_duplicates(vectors):
+    out = {(r["first"], r["second"]): r["cosine"] for r in embedding_near_duplicates(vectors, threshold=0.99).collect()}
+    assert (0, 100) in out
+    assert out[(0, 100)] == pytest.approx(1.0)
+    assert (1, 101) in out
+
+
+def test_token_counts(docs):
+    out = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in token_counts(docs).collect()}
+    assert out[1][0] == 13
+    assert out[6][1] >= 10  # symbols count as single tokens
+
+
+def test_quality_scores(docs):
+    out = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert out[1]["quality_score"] > out[6]["quality_score"]
+    assert out[6]["digit_ratio"] > 0.3
+    assert 0 <= out[1]["stopword_ratio"] <= 1
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[6] == "unknown"
+
+
+def test_document_fingerprints(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprints(docs, k=3).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_multimodal_stub_pipeline(spark):
+    rows = [(1, bytearray(b"fake-image-bytes-1")), (2, bytearray(b"other-bytes"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = decode_images(df)
+    got = {r["media_id"]: r for r in meta.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bytes"] == 18
+    assert len(got[1]["feature"]) == 8
+    # deterministic stub
+    again = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert got[1]["width"] == again[1]["width"]
+
+    resized = resize_images(meta, max_side=64)
+    for r in resized.collect():
+        assert max(r["target_width"], r["target_height"]) <= 64 + 1
+
+    vids = spark.createDataFrame([(1, 3.5)], "media_id long, duration_s double")
+    frames = sample_video_frames(vids, fps=2.0)
+    assert frames.count() == 7
