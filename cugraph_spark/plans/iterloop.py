@@ -33,6 +33,48 @@ from pyspark.storagelevel import StorageLevel
 DEFAULT_CHECKPOINT_INTERVAL = 5
 
 
+def _strip_inherited_stats(df: DataFrame) -> DataFrame:
+    """Drop the origin-plan statistics a checkpointed DataFrame inherits.
+
+    ``Dataset.localCheckpoint`` replaces the plan with a ``LogicalRDD``
+    leaf but copies the *origin plan's* estimated ``Statistics`` onto it
+    (``originStats``). Size-only estimation multiplies join children's
+    ``sizeInBytes`` (BigInt), so in an iterative algorithm whose state is
+    checkpointed every pass the estimate compounds: a pass with k joins
+    multiplies the digit count by ~k, i.e. digits grow exponentially in
+    the pass number. After a few dozen passes the driver spends minutes
+    per plan multiplying million-digit BigIntegers inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` (observed: Louvain at sf0.01
+    wedged for >20 min of pure ``BigInteger.multiplyToomCook3``).
+
+    Fix: rebuild the ``LogicalRDD`` leaf with ``originStats = None`` so
+    every materialization restarts from ``defaultSizeInBytes``. Plan-time
+    auto-broadcast of the checkpointed state is lost, but AQE re-plans
+    shuffle joins with *runtime* sizes, which is both safer and exact.
+    Falls back to the plain checkpointed frame if the private plan
+    surgery ever stops matching the installed Spark version.
+    """
+    spark = df.sparkSession
+    jdf = df._jdf
+    try:
+        plan = jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith("LogicalRDD"):
+            return df
+        g = lambda n: getattr(plan, n)()
+        none = spark._jvm.scala.Option.empty()
+        new_plan = plan.copy(
+            g("copy$default$1"), g("copy$default$2"), g("copy$default$3"),
+            g("copy$default$4"), g("copy$default$5"), g("copy$default$6"),
+            spark._jsparkSession, none, none,
+        )
+        jnew = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_plan
+        )
+        return DataFrame(jnew, spark)
+    except Exception:
+        return df
+
+
 def truncate_lineage(df: DataFrame, iteration: int, interval: int = DEFAULT_CHECKPOINT_INTERVAL) -> DataFrame:
     """Cut DataFrame lineage every ``interval`` iterations.
 
@@ -41,13 +83,13 @@ def truncate_lineage(df: DataFrame, iteration: int, interval: int = DEFAULT_CHEC
     matter how many iterations run.
     """
     if interval and iteration % interval == 0:
-        return df.localCheckpoint(eager=True)
+        return materialize(df)
     return df
 
 
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly localCheckpoint (used for the per-iteration state swap)."""
-    return df.localCheckpoint(eager=True)
+    return _strip_inherited_stats(df.localCheckpoint(eager=True))
 
 
 def collect_scalars(df: DataFrame, exprs: Sequence[Column]) -> tuple:
