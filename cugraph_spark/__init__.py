@@ -117,6 +117,13 @@ def __getattr__(name):
         "from_adjlist": ".structure.convert_matrix",
         "from_pandas_edgelist": ".structure.convert_matrix",
         "to_pandas_edgelist": ".structure.convert_matrix",
+        "force_atlas2": ".layout.force_atlas2",
+        "find_bicliques": ".structure.bicliques",
+        "spectralBalancedCutClustering": ".community.spectral_clustering",
+        "spectralModularityMaximizationClustering": ".community.spectral_clustering",
+        "hungarian": ".linear_assignment.lap",
+        "dense_hungarian": ".linear_assignment.lap",
+        "symmetrize": ".structure.symmetrize",
     }
     if name in lazy:
         mod = importlib.import_module(lazy[name], __name__)

@@ -27,6 +27,30 @@ def add_reverse_edges(edges: DataFrame) -> DataFrame:
     return edges.select(*cols).unionByName(edges.select(*swapped))
 
 
+def symmetrize(
+    df: DataFrame,
+    src_name: str = SRC,
+    dst_name: str = DST,
+    weight_name: str | None = None,
+    multi: bool = False,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Reference-parity entry point over arbitrary column names
+    (structure/symmetrize.py:9: ``symmetrize_df(df, src_name, dst_name,
+    weight_name=None, multi=False, symmetrize=True)``): add the reverse of
+    every edge, then (non-multi) dedup keeping the minimum of each other
+    column. Returns the same column names it was given."""
+    rename = {src_name: SRC, dst_name: DST}
+    if weight_name:
+        rename[weight_name] = WEIGHT
+    canon = df.select(
+        *[F.col(c).alias(rename.get(c, c)) for c in df.columns]
+    )
+    out = symmetrize_df(canon, multi=multi, dedup=symmetrize)
+    back = {v: k for k, v in rename.items()}
+    return out.select(*[F.col(c).alias(back.get(c, c)) for c in out.columns])
+
+
 def symmetrize_df(
     edges: DataFrame, multi: bool = False, dedup: bool = True
 ) -> DataFrame:

@@ -1651,3 +1651,113 @@ def q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").cast("string").alias("window_start"),
                 "src", "dst", "edge_label", "weight", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# force_atlas2 layout + find_bicliques (SURVEY §2.H)
+# ---------------------------------------------------------------------------
+
+
+@register("force_atlas2_nation")
+def q_force_atlas2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FA2 layout of the nation-flow digraph; rows-only (coordinates are
+    float-trajectory-dependent, no cross-engine oracle — the reference's
+    own tests also assert shape/quality only)."""
+    from cugraph_spark import force_atlas2
+    from cugraph_spark.structure.graph import Graph
+
+    e = nation_flow_edges(spark, sf_dir)
+    g = Graph(directed=True)
+    g.from_edgelist(e, "src", "dst", weight="weight")
+    pos = force_atlas2(g, max_iter=5, barnes_hut_optimize=False)
+    return pos.select("vertex", F.round("x", 4).alias("x"), F.round("y", 4).alias("y"))
+
+
+BICLIQUE_SUPPORT = 0.8
+BICLIQUE_MIN_M = 20
+BICLIQUE_MIN_F = 1
+BICLIQUE_SHINGLE_K = 5
+
+
+@register(
+    "bicliques_doc_shingle",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i:i+{BICLIQUE_SHINGLE_K - 1}], ' ') AS shingle
+    FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i) idx
+    WHERE i <= greatest(len(t) - {BICLIQUE_SHINGLE_K - 1}, 1)
+),
+e AS MATERIALIZED (
+    SELECT CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS src,
+           doc_id AS dst,
+           CASE WHEN CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) % 7 = 0
+                THEN 1 ELSE 0 END AS flag
+    FROM sh
+),
+fdeg AS MATERIALIZED (
+    SELECT dst, COUNT(*) AS cnt FROM e GROUP BY dst
+),
+seeds0 AS MATERIALIZED (
+    SELECT dst, cnt FROM fdeg WHERE cnt >= {BICLIQUE_MIN_M}
+),
+sig AS MATERIALIZED (
+    SELECT e.dst, STRING_AGG(e.src, ',' ORDER BY e.src) AS s
+    FROM e JOIN seeds0 ON e.dst = seeds0.dst GROUP BY e.dst
+),
+seeds AS MATERIALIZED (
+    SELECT dst, cnt FROM (
+        SELECT s0.dst, s0.cnt,
+               ROW_NUMBER() OVER (PARTITION BY sig.s ORDER BY s0.cnt DESC, s0.dst) AS rn
+        FROM seeds0 s0 JOIN sig ON s0.dst = sig.dst
+    ) WHERE rn = 1
+),
+m_of_f AS MATERIALIZED (
+    SELECT seeds.dst AS f, seeds.cnt AS fdeg, e.src, e.flag
+    FROM e JOIN seeds ON e.dst = seeds.dst
+),
+co AS MATERIALIZED (
+    SELECT m.f, m.fdeg, e2.dst AS g, COUNT(*) AS n
+    FROM m_of_f m JOIN e e2 ON m.src = e2.src
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= CEIL(m.fdeg * {BICLIQUE_SUPPORT})
+),
+nfeat AS MATERIALIZED (
+    SELECT f, fdeg, COUNT(*) AS nf FROM co GROUP BY 1, 2
+    HAVING COUNT(*) > {BICLIQUE_MIN_F}
+),
+chosen AS MATERIALIZED (
+    SELECT f, ROW_NUMBER() OVER (ORDER BY fdeg DESC, f) - 1 AS id
+    FROM nfeat
+),
+chosen_k AS MATERIALIZED (SELECT * FROM chosen WHERE id < 10)
+SELECT c.id, m.src AS vert, 0 AS type
+FROM m_of_f m JOIN chosen_k c ON m.f = c.f
+UNION ALL
+SELECT c.id, co.g AS vert, 1 AS type
+FROM co JOIN chosen_k c ON co.f = c.f
+""",
+)
+def q_bicliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bicliques in the shingle x document matrix: each biclique is
+    a near-duplicate document cluster (features) x its shared shingle set
+    (machines) — find_bicliques doubling as a dedup-cluster miner."""
+    from cugraph_spark import find_bicliques
+    from cugraph_spark.pipelines.dedup import _md5_small, shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", k=BICLIQUE_SHINGLE_K)
+    e = sh.select(
+        _md5_small(F.col("shingle")).alias("src"),
+        F.col("doc_id").alias("dst"),
+    ).withColumn(
+        "flag", F.when(F.col("src") % 7 == 0, 1).otherwise(0)
+    )
+    b, _s = find_bicliques(
+        e, k=10, support=BICLIQUE_SUPPORT,
+        min_features=BICLIQUE_MIN_F, min_machines=BICLIQUE_MIN_M,
+    )
+    return b
