@@ -115,3 +115,17 @@ def test_symmetrize_named_columns(spark):
     assert len(out) == 4
     w12 = out[(out.a == 1) & (out.b == 2)].w.iloc[0]
     assert w12 == 3.0
+
+
+def test_datasets_karate(spark):
+    from cugraph_spark.datasets import karate, dolphins
+
+    g = karate.get_graph(spark)
+    assert g.number_of_vertices() == 34
+    assert g.number_of_edges(directed_edges=True) == 156
+    el = karate.get_edgelist(spark)
+    assert el.columns == ["src", "dst", "wgt"]
+    with pytest.raises(RuntimeError):
+        dolphins.get_edgelist(spark)
+    with pytest.raises(NotImplementedError):
+        dolphins.get_edgelist(spark, download=True)
