@@ -25,9 +25,13 @@ def events_to_edges(events: DataFrame) -> DataFrame:
     """Project the events table into temporal edges:
     user --(event_type)--> type-node, weighted by value, timestamped.
     Works identically for batch and streaming DataFrames."""
+    # type-node ids via an engine-portable hash (md5 prefix, same formula
+    # DuckDB/any ANSI engine can compute) rather than Spark-only xxhash64,
+    # so downstream tables are reproducible outside Spark
+    type_node = F.conv(F.substring(F.md5("event_type"), 1, 7), 16, 10).cast("long")
     return events.select(
         F.col("user_id").alias("src"),
-        F.abs(F.xxhash64("event_type")).alias("dst"),  # type-node id space
+        type_node.alias("dst"),
         F.col("event_type").alias("edge_label"),
         F.coalesce(F.col("value"), F.lit(1.0)).alias("weight"),
         # watermarks require TIMESTAMP (with tz), not TIMESTAMP_NTZ

@@ -1522,7 +1522,26 @@ def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts
 
 
-@register("wcc_scc_nation")
+@register(
+    "wcc_scc_nation",
+    oracle=f"""
+WITH {NATION_FLOW_SQL.strip()},
+scc_verts AS MATERIALIZED (
+    SELECT DISTINCT src AS v FROM nf_edges UNION SELECT DISTINCT dst FROM nf_edges
+),
+scc_r0 AS MATERIALIZED (
+    SELECT v AS src, v AS dst FROM scc_verts UNION SELECT src, dst FROM nf_edges
+),
+scc_r1 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM scc_r0 a JOIN scc_r0 b ON a.dst = b.src),
+scc_r2 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM scc_r1 a JOIN scc_r1 b ON a.dst = b.src),
+scc_r3 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM scc_r2 a JOIN scc_r2 b ON a.dst = b.src),
+scc_r4 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM scc_r3 a JOIN scc_r3 b ON a.dst = b.src),
+scc_r5 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM scc_r4 a JOIN scc_r4 b ON a.dst = b.src)
+SELECT a.src AS vertex, MIN(a.dst) AS labels
+FROM scc_r5 a JOIN scc_r5 b ON a.src = b.dst AND a.dst = b.src
+GROUP BY a.src
+""",
+)
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark import strongly_connected_components
 
@@ -1545,12 +1564,72 @@ def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.edges().filter(F.col("src") < F.col("dst")).select("src", "dst", "weight")
 
 
-@register("ktruss_copurchase_sparse")
+KTRUSS_K = 25  # support range at sf0.01 is 10..89: k=25 peels ~48%% of
+# edges over 3 cascade rounds (6 unrolled in the oracle = safety margin;
+# extra rounds past the fixpoint are no-ops)
+
+
+@register(
+    "ktruss_copurchase_sparse",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+kt_e0 AS MATERIALIZED (SELECT src, dst FROM cps_pairs),
+kt_sym0 AS MATERIALIZED (SELECT src, dst FROM kt_e0 UNION ALL SELECT dst, src FROM kt_e0),
+kt_s0 AS MATERIALIZED (
+    SELECT e.src, e.dst, COUNT(*) AS sup
+    FROM kt_e0 e JOIN kt_sym0 x ON x.src = e.src
+    JOIN kt_sym0 y ON y.src = e.dst AND y.dst = x.dst
+    GROUP BY 1, 2
+),
+kt_e1 AS MATERIALIZED (SELECT src, dst FROM kt_s0 WHERE sup >= 23),
+kt_sym1 AS MATERIALIZED (SELECT src, dst FROM kt_e1 UNION ALL SELECT dst, src FROM kt_e1),
+kt_s1 AS MATERIALIZED (
+    SELECT e.src, e.dst, COUNT(*) AS sup
+    FROM kt_e1 e JOIN kt_sym1 x ON x.src = e.src
+    JOIN kt_sym1 y ON y.src = e.dst AND y.dst = x.dst
+    GROUP BY 1, 2
+),
+kt_e2 AS MATERIALIZED (SELECT src, dst FROM kt_s1 WHERE sup >= 23),
+kt_sym2 AS MATERIALIZED (SELECT src, dst FROM kt_e2 UNION ALL SELECT dst, src FROM kt_e2),
+kt_s2 AS MATERIALIZED (
+    SELECT e.src, e.dst, COUNT(*) AS sup
+    FROM kt_e2 e JOIN kt_sym2 x ON x.src = e.src
+    JOIN kt_sym2 y ON y.src = e.dst AND y.dst = x.dst
+    GROUP BY 1, 2
+),
+kt_e3 AS MATERIALIZED (SELECT src, dst FROM kt_s2 WHERE sup >= 23),
+kt_sym3 AS MATERIALIZED (SELECT src, dst FROM kt_e3 UNION ALL SELECT dst, src FROM kt_e3),
+kt_s3 AS MATERIALIZED (
+    SELECT e.src, e.dst, COUNT(*) AS sup
+    FROM kt_e3 e JOIN kt_sym3 x ON x.src = e.src
+    JOIN kt_sym3 y ON y.src = e.dst AND y.dst = x.dst
+    GROUP BY 1, 2
+),
+kt_e4 AS MATERIALIZED (SELECT src, dst FROM kt_s3 WHERE sup >= 23),
+kt_sym4 AS MATERIALIZED (SELECT src, dst FROM kt_e4 UNION ALL SELECT dst, src FROM kt_e4),
+kt_s4 AS MATERIALIZED (
+    SELECT e.src, e.dst, COUNT(*) AS sup
+    FROM kt_e4 e JOIN kt_sym4 x ON x.src = e.src
+    JOIN kt_sym4 y ON y.src = e.dst AND y.dst = x.dst
+    GROUP BY 1, 2
+),
+kt_e5 AS MATERIALIZED (SELECT src, dst FROM kt_s4 WHERE sup >= 23),
+kt_sym5 AS MATERIALIZED (SELECT src, dst FROM kt_e5 UNION ALL SELECT dst, src FROM kt_e5),
+kt_s5 AS MATERIALIZED (
+    SELECT e.src, e.dst, COUNT(*) AS sup
+    FROM kt_e5 e JOIN kt_sym5 x ON x.src = e.src
+    JOIN kt_sym5 y ON y.src = e.dst AND y.dst = x.dst
+    GROUP BY 1, 2
+),
+kt_e6 AS MATERIALIZED (SELECT src, dst FROM kt_s5 WHERE sup >= 23)
+SELECT src, dst FROM kt_e6
+""",
+)
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark.community.ktruss_subgraph import k_truss_edges
 
     g = copurchase_sparse_graph(spark, sf_dir)
-    return k_truss_edges(g, 4)
+    return k_truss_edges(g, KTRUSS_K)
 
 
 @register("mis_copurchase_sparse")
@@ -1621,7 +1700,26 @@ def q_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rmat(12, 1 << 14, seed=42, spark=spark)
 
 
-@register("ego_batched_cust_supp")
+@register(
+    "ego_batched_cust_supp",
+    oracle=f"""
+WITH {CUST_SUPP_SPARSE_SQL.strip()},
+be_seeds AS MATERIALIZED (
+    SELECT src AS seed FROM (SELECT DISTINCT src FROM css_edges WHERE src < 20000000)
+    ORDER BY src LIMIT 3
+),
+be_h1 AS MATERIALIZED (
+    SELECT s.seed, e.dst AS v FROM css_edges e JOIN be_seeds s ON e.src = s.seed
+),
+be_reach AS MATERIALIZED (
+    SELECT seed, seed AS v FROM be_seeds UNION SELECT seed, v FROM be_h1
+)
+SELECT a.seed, e.src, e.dst
+FROM css_edges e
+JOIN be_reach a ON e.src = a.v
+JOIN be_reach b ON b.seed = a.seed AND e.dst = b.v
+""",
+)
 def q_batched_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark.community.egonet import batched_ego_graphs
 
@@ -1630,7 +1728,19 @@ def q_batched_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batched_ego_graphs(g, seeds, radius=1)
 
 
-@register("streaming_edges_events")
+@register(
+    "streaming_edges_events",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       user_id AS src,
+       CAST(('0x' || substr(md5(event_type), 1, 7)) AS BIGINT) AS dst,
+       event_type AS edge_label,
+       ROUND(SUM(COALESCE(value, 1.0)), 6) AS weight,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3, 4
+""",
+)
 def q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed edge aggregation of the events stream (batch-equivalent
     plan of the Structured Streaming pipeline; events ts is NANOS parquet,
