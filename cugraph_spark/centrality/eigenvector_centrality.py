@@ -45,7 +45,12 @@ def eigenvector_centrality(
     converged = False
     for _ in range(max_iter):
         msgs = (
-            e.join(state.select(F.col("vertex").alias(SRC), "_c"), SRC)
+            e.join(
+                iterloop.hint_state_join(
+                    state.select(F.col("vertex").alias(SRC), "_c"), n
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
         )

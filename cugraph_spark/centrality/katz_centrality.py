@@ -43,6 +43,7 @@ def katz_centrality(
         alpha = 1.0 / dmax
 
     verts = G.vertices_internal
+    n = G.number_of_vertices()
     if nstart is not None:
         ns = G.renumber_vertices(nstart, "vertex")
         state = verts.join(ns, "vertex", "left").select(
@@ -55,7 +56,12 @@ def katz_centrality(
     converged = False
     for _ in range(max_iter):
         msgs = (
-            e.join(state.select(F.col("vertex").alias(SRC), "_c"), SRC)
+            e.join(
+                iterloop.hint_state_join(
+                    state.select(F.col("vertex").alias(SRC), "_c"), n
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
         )

@@ -44,7 +44,13 @@ def weakly_connected_components(G: Graph) -> DataFrame:
         it += 1
         # min label over closed neighborhood (vertex itself + in-neighbors)
         nbr_min = (
-            edges.join(labels.select(F.col("vertex").alias(SRC), "label"), SRC)
+            edges.join(
+                iterloop.hint_state_join(
+                    labels.select(F.col("vertex").alias(SRC), "label"),
+                    G.number_of_vertices(),
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.min("label").alias("_nbr"))
         )

@@ -43,7 +43,12 @@ def hits(
     auth = None
     for _ in range(max_iter):
         auth = (
-            e.join(state.select(F.col("vertex").alias(SRC), "_h"), SRC)
+            e.join(
+                iterloop.hint_state_join(
+                    state.select(F.col("vertex").alias(SRC), "_h"), n
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.sum("_h").alias("_a"))
         )
@@ -52,7 +57,12 @@ def hits(
         )
         auth = iterloop.materialize(auth)
         hub = (
-            e.join(auth.select(F.col("vertex").alias(DST), "_a"), DST)
+            e.join(
+                iterloop.hint_state_join(
+                    auth.select(F.col("vertex").alias(DST), "_a"), n
+                ),
+                DST,
+            )
             .groupBy(F.col(SRC).alias("vertex"))
             .agg(F.sum("_a").alias("_hraw"))
         )

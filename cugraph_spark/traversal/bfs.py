@@ -50,7 +50,12 @@ def bfs(
     depth = 0
     while depth_limit is None or depth < depth_limit:
         nxt = (
-            edges.join(frontier.withColumnRenamed("vertex", SRC), SRC)
+            edges.join(
+                iterloop.hint_state_join(
+                    frontier.withColumnRenamed("vertex", SRC), G.number_of_vertices()
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.min(SRC).alias("predecessor"))
             .join(visited.select("vertex"), "vertex", "left_anti")
@@ -139,7 +144,13 @@ def multi_source_bfs(
     depth = 0
     while depth_limit is None or depth < depth_limit:
         nxt = (
-            edges.join(frontier.withColumnRenamed("vertex", SRC), SRC)
+            edges.join(
+                iterloop.hint_state_join(
+                    frontier.withColumnRenamed("vertex", SRC),
+                    G.number_of_vertices() * max(len(ids), 1),
+                ),
+                SRC,
+            )
             .groupBy("source", F.col(DST).alias("vertex"))
             .agg(F.min(SRC).alias("predecessor"))
             .join(visited.select("source", "vertex"), ["source", "vertex"], "left_anti")

@@ -45,7 +45,12 @@ def sssp(
     while True:
         cand = (
             edges.join(
-                frontier.select(F.col("vertex").alias(SRC), F.col("distance").alias("_d")),
+                iterloop.hint_state_join(
+                    frontier.select(
+                        F.col("vertex").alias(SRC), F.col("distance").alias("_d")
+                    ),
+                    G.number_of_vertices(),
+                ),
                 SRC,
             )
             .select(
