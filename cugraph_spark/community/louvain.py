@@ -22,7 +22,8 @@ Validation is by modularity score, not exact labels (the reference's own
 tests do the same: tests/community/test_louvain.py:39-40 asserts
 ``modularity > 0``; label sets differ run-to-run even on GPU).
 
-Scale: every pass is join + groupBy + window-argmax on the edge list;
+Scale: every pass is join + groupBy (struct-max argmax, map-side
+partial aggregation) on the edge list;
 contraction shrinks the graph geometrically between levels.
 """
 
@@ -30,7 +31,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..constants import SRC, DST, WEIGHT
 from ..plans import iterloop
@@ -82,13 +83,15 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
     spark = edges.sparkSession
     deg = edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum("_w").alias("_k"))
     deg = iterloop.persist(deg)
-    two_m = edges.agg(F.sum("_w")).collect()[0][0]
+    # deg sums == edge-weight sum on a symmetrized list: one job for both
+    n_verts_hint, two_m = iterloop.collect_scalars(
+        deg, [F.count("*"), F.sum("_k")]
+    )
 
     assign = deg.select("vertex", F.col("vertex").alias("community"))
     assign = iterloop.materialize(assign)
 
     for it in range(max_iter):
-        a_src = assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_ci"))
         a_dst = assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cj"))
         sigma = (
             assign.join(deg, "vertex")
@@ -98,7 +101,7 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
         # w_iC: weight from vertex i to each neighbor community C
         wic = (
             edges.filter(F.col(SRC) != F.col(DST))
-            .join(a_dst, DST)
+            .join(iterloop.hint_state_join(a_dst, n_verts_hint), DST)
             .groupBy(F.col(SRC).alias("vertex"), "_cj")
             .agg(F.sum("_w").alias("_wic"))
         )
@@ -119,21 +122,29 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
                 ).alias("_gain"),
             )
         )
-        w = Window.partitionBy("vertex").orderBy(F.desc("_gain"), F.asc("_cj"))
+        # argmax(gain, tie: smallest community) + current-community gain in
+        # ONE partial-aggregated groupBy — replaces the window sort (full
+        # shuffle + per-partition sort) and the separate `cur` self-join
         best = (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vertex", "community", F.col("_cj").alias("_best"), "_gain")
-        )
-        cur = cand.filter(F.col("_cj") == F.col("community")).select(
-            "vertex", F.col("_gain").alias("_curgain")
-        )
-        moves = (
-            best.join(cur, "vertex", "left")
-            .filter(
-                (F.col("_best") != F.col("community"))
-                & (F.col("_gain") > F.coalesce("_curgain", F.lit(0.0)) + 1e-12)
+            cand.groupBy("vertex", "community")
+            .agg(
+                F.max(
+                    F.struct(F.col("_gain"), (-F.col("_cj")).alias("_ncj"))
+                ).alias("_bp"),
+                F.max(
+                    F.when(F.col("_cj") == F.col("community"), F.col("_gain"))
+                ).alias("_curgain"),
             )
+            .select(
+                "vertex", "community",
+                (-F.col("_bp._ncj")).alias("_best"),
+                F.col("_bp._gain").alias("_gain"),
+                "_curgain",
+            )
+        )
+        moves = best.filter(
+            (F.col("_best") != F.col("community"))
+            & (F.col("_gain") > F.coalesce("_curgain", F.lit(0.0)) + 1e-12)
         )
         # oscillation damping: alternate move direction by pass parity
         if it % 2 == 0:
