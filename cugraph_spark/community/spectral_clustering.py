@@ -56,7 +56,9 @@ def _embedding(G: Graph, dim: int, iters: int, seed: int) -> DataFrame:
                 ],
             )
         )
-        state = iterloop.truncate_lineage(state, it + 1, 3)
+        # state is read twice per pass (message join + self-mix): checkpoint
+        # every pass or the lazy chain re-executes prior passes per use
+        state = iterloop.materialize(state)
     norm.unpersist()
     return iterloop.materialize(state)
 

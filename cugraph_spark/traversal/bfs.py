@@ -58,7 +58,13 @@ def bfs(
             )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.min(SRC).alias("predecessor"))
-            .join(visited.select("vertex"), "vertex", "left_anti")
+            .join(
+                iterloop.hint_state_join(
+                    visited.select("vertex"), G.number_of_vertices()
+                ),
+                "vertex",
+                "left_anti",
+            )
         )
         depth += 1
         nxt = iterloop.materialize(
@@ -153,7 +159,14 @@ def multi_source_bfs(
             )
             .groupBy("source", F.col(DST).alias("vertex"))
             .agg(F.min(SRC).alias("predecessor"))
-            .join(visited.select("source", "vertex"), ["source", "vertex"], "left_anti")
+            .join(
+                iterloop.hint_state_join(
+                    visited.select("source", "vertex"),
+                    G.number_of_vertices() * max(len(ids), 1),
+                ),
+                ["source", "vertex"],
+                "left_anti",
+            )
         )
         depth += 1
         nxt = iterloop.materialize(

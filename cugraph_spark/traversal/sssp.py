@@ -38,15 +38,15 @@ def sssp(
     edges = edges.select(SRC, DST, w.alias("_w"))
 
     dist = spark.createDataFrame(
-        [(sid, 0.0, -1)], "vertex long, distance double, predecessor long"
+        [(sid, 0.0, -1, True)],
+        "vertex long, distance double, predecessor long, _impr boolean",
     )
-    frontier = dist  # rows improved last round
-    it = 0
     while True:
+        # relax edges out of last round's improved vertices (the frontier)
         cand = (
             edges.join(
                 iterloop.hint_state_join(
-                    frontier.select(
+                    dist.filter(F.col("_impr")).select(
                         F.col("vertex").alias(SRC), F.col("distance").alias("_d")
                     ),
                     G.number_of_vertices(),
@@ -55,45 +55,56 @@ def sssp(
             )
             .select(
                 F.col(DST).alias("vertex"),
-                (F.col("_d") + F.col("_w")).alias("distance"),
-                F.col(SRC).alias("predecessor"),
+                (F.col("_d") + F.col("_w")).alias("_nd"),
+                F.col(SRC).alias("_np"),
             )
         )
         if cutoff is not None:
-            cand = cand.filter(F.col("distance") <= cutoff)
+            cand = cand.filter(F.col("_nd") <= cutoff)
         cand = (
             cand.groupBy("vertex")
-            .agg(F.min(F.struct("distance", "predecessor")).alias("_best"))
-            .select("vertex", "_best.distance", "_best.predecessor")
+            .agg(F.min(F.struct(F.col("_nd"), F.col("_np"))).alias("_best"))
+            .select("vertex", F.col("_best._nd").alias("_nd"), F.col("_best._np").alias("_np"))
         )
-        improved = (
-            cand.join(dist.select("vertex", F.col("distance").alias("_old")), "vertex", "left")
-            .filter(F.col("_old").isNull() | (F.col("distance") < F.col("_old")))
-            .select("vertex", "distance", "predecessor")
+        # one fused update+improved-flag pass: dist comes back from the
+        # checkpoint hash-partitioned on vertex and cand leaves its groupBy
+        # likewise, so this full-outer join adds no exchange
+        better = F.col("_nd").isNotNull() & (
+            F.col("distance").isNull() | (F.col("_nd") < F.col("distance"))
         )
-        improved = iterloop.materialize(improved)
-        if improved.count() == 0:
+        dist = iterloop.materialize(
+            dist.join(cand, "vertex", "full_outer").select(
+                "vertex",
+                F.when(better, F.col("_nd")).otherwise(F.col("distance")).alias("distance"),
+                F.when(better, F.col("_np")).otherwise(F.col("predecessor")).alias("predecessor"),
+                better.alias("_impr"),
+            )
+        )
+        (n_improved,) = iterloop.collect_scalars(
+            dist, [F.sum(F.col("_impr").cast("long"))]
+        )
+        if not n_improved:
             break
-        # single outer-join update (one shuffle) instead of anti-join+union
-        upd = improved.select(
-            "vertex", F.col("distance").alias("_nd"), F.col("predecessor").alias("_np")
-        )
-        dist = dist.join(upd, "vertex", "full_outer").select(
-            "vertex",
-            F.coalesce("_nd", F.col("distance")).alias("distance"),
-            F.coalesce("_np", F.col("predecessor")).alias("predecessor"),
-        )
-        it += 1
-        dist = iterloop.truncate_lineage(dist, it, 3)
-        frontier = improved
+    dist = dist.drop("_impr")
 
     # deterministic predecessors: recompute globally as the MIN u with
     # dist(u) + w(u,v) == dist(v). The in-loop predecessor depends on
     # which round last improved v; this post-pass makes the output a
     # pure function of the graph (and lets the SQL oracle replicate it).
+    n_v = G.number_of_vertices()
     preds = (
-        edges.join(dist.select(F.col("vertex").alias(SRC), F.col("distance").alias("_du")), SRC)
-        .join(dist.select(F.col("vertex").alias(DST), F.col("distance").alias("_dv")), DST)
+        edges.join(
+            iterloop.hint_state_join(
+                dist.select(F.col("vertex").alias(SRC), F.col("distance").alias("_du")), n_v
+            ),
+            SRC,
+        )
+        .join(
+            iterloop.hint_state_join(
+                dist.select(F.col("vertex").alias(DST), F.col("distance").alias("_dv")), n_v
+            ),
+            DST,
+        )
         .filter(F.col("_du") + F.col("_w") == F.col("_dv"))
         .groupBy(F.col(DST).alias("vertex"))
         .agg(F.min(SRC).alias("_pred"))
