@@ -31,6 +31,9 @@ from ..plans import iterloop
 from ..structure.graph import Graph
 
 
+_FAST_PATH_CHECKPOINT_INTERVAL = 1
+
+
 class FailedToConvergeError(RuntimeError):
     """Raised when fail_on_nonconvergence=True and max_iter is exhausted
     (reference: pagerank.py fail_on_nonconvergence semantics)."""
@@ -152,28 +155,31 @@ def _pagerank_impl(
 
     need_sync_every_iter = has_dangling or tol > 0
     converged = False
-    for it in range(max_iter):
-        msgs = (
-            norm_edges.join(
-                iterloop.hint_state_join(
-                    state.select(F.col("vertex").alias(SRC), "_rank"), n
-                ),
-                SRC,
+    if need_sync_every_iter:
+        for it in range(max_iter):
+            msgs = (
+                norm_edges.join(
+                    iterloop.hint_state_join(
+                        state.select(F.col("vertex").alias(SRC), "_rank"), n
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias("vertex"))
+                .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
             )
-            .groupBy(F.col(DST).alias("vertex"))
-            .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
-        )
-        new_state = (
-            state.join(msgs, "vertex", "left")
-            .select(
-                "vertex", "_p", "_dang", F.col("_rank").alias("_prev"),
-                (
-                    (1.0 - alpha) * F.col("_p")
-                    + alpha * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_sum or 0.0) * F.col("_p"))
-                ).alias("_rank"),
+            new_state = (
+                state.join(msgs, "vertex", "left")
+                .select(
+                    "vertex", "_p", "_dang", F.col("_rank").alias("_prev"),
+                    (
+                        (1.0 - alpha) * F.col("_p")
+                        + alpha * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_sum or 0.0) * F.col("_p"))
+                    ).alias("_rank"),
+                )
             )
-        )
-        if need_sync_every_iter:
+            # the state feeds two places per pass (message join + rank
+            # update), so it must be cut every pass or the lazy chain
+            # re-executes prior passes once per downstream use
             new_state = iterloop.materialize(new_state)
             delta, dangling_sum = iterloop.collect_scalars(
                 new_state,
@@ -186,15 +192,42 @@ def _pagerank_impl(
                 state = new_state.select("vertex", "_p", "_dang", "_rank")
                 converged = True
                 break
-        else:
-            # materialize EVERY iteration: the state feeds two places in the
-            # next pass (the broadcast/message join and the rank update), so
-            # a lazily-chained window re-executes each un-checkpointed pass
-            # once per downstream use — measured 29s -> 16s at sf0.1/30 iter
-            # by cutting here instead of every 5th pass
-            new_state = iterloop.materialize(new_state)
-        state = new_state.select("vertex", "_p", "_dang", "_rank")
+            state = new_state.select("vertex", "_p", "_dang", "_rank")
+        out = state.select("vertex", F.col("_rank").alias("pagerank"))
+    else:
+        # Fixed-iteration, no-dangling path (tol=0): split the static
+        # per-vertex columns (_p) into a persisted base table so the loop
+        # state is just (vertex, _rank) and is consumed exactly ONCE per
+        # pass (inside the message join). A once-consumed state chains
+        # lazily without recompute blowup, so lineage only needs cutting
+        # every few passes — K iterations collapse into one Spark job
+        # (with K nested broadcast exchanges) instead of K jobs + K
+        # checkpoint writes.
+        base = iterloop.persist(state.select("vertex", "_p"))
+        base.count()
+        ranks = state.select("vertex", "_rank")
+        for it in range(max_iter):
+            msgs = (
+                norm_edges.join(
+                    iterloop.hint_state_join(
+                        ranks.select(F.col("vertex").alias(SRC), "_rank"), n
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias("vertex"))
+                .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
+            )
+            ranks = base.join(msgs, "vertex", "left").select(
+                "vertex",
+                (
+                    (1.0 - alpha) * F.col("_p")
+                    + alpha * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("_rank"),
+            )
+            ranks = iterloop.truncate_lineage(ranks, it + 1, _FAST_PATH_CHECKPOINT_INTERVAL)
+        ranks = iterloop.materialize(ranks)
+        base.unpersist()
+        out = ranks.select("vertex", F.col("_rank").alias("pagerank"))
 
     norm_edges.unpersist()
-    out = state.select("vertex", F.col("_rank").alias("pagerank"))
     return G.unrenumber(out, "vertex"), converged

