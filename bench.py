@@ -43,6 +43,19 @@ def main() -> None:
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
 
+    # -- untimed warmup: exercise scan/join/agg/broadcast/checkpoint once so
+    # the timed sections measure the operators, not one-time JVM
+    # classloading + codegen (the reference's pytest-benchmark harness
+    # likewise runs warmup rounds before measuring)
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet").select("s_suppkey")
+    (
+        supp.join(F.broadcast(supp.limit(100)), "s_suppkey", "left")
+        .groupBy("s_suppkey")
+        .count()
+        .localCheckpoint(eager=True)
+        .count()
+    )
+
     # -- graph build: customer<->supplier bipartite ------------------------
     with timed("graph_build"):
         cs = (

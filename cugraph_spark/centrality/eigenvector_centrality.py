@@ -43,35 +43,36 @@ def eigenvector_centrality(
     state = iterloop.materialize(state)
 
     converged = False
-    for _ in range(max_iter):
-        msgs = (
-            e.join(
-                iterloop.hint_state_join(
-                    state.select(F.col("vertex").alias(SRC), "_c"), n
-                ),
-                SRC,
+    with iterloop.small_plan(edges.sparkSession, n):
+        for _ in range(max_iter):
+            msgs = (
+                e.join(
+                    iterloop.hint_state_join(
+                        state.select(F.col("vertex").alias(SRC), "_c"), n
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias("vertex"))
+                .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
             )
-            .groupBy(F.col(DST).alias("vertex"))
-            .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
-        )
-        pre = state.join(msgs, "vertex", "left").select(
-            "vertex",
-            F.col("_c").alias("_old"),
-            (F.coalesce("_in", F.lit(0.0)) + F.col("_c")).alias("_raw"),
-        )
-        pre = iterloop.materialize(pre)
-        (l2,) = iterloop.collect_scalars(pre, [F.sqrt(F.sum(F.col("_raw") * F.col("_raw")))])
-        new_state = pre.select(
-            "vertex", "_old", (F.col("_raw") / F.lit(l2)).alias("_c")
-        )
-        new_state = iterloop.materialize(new_state)
-        (delta,) = iterloop.collect_scalars(
-            new_state, [F.sum(F.abs(F.col("_c") - F.col("_old")))]
-        )
-        state = new_state.select("vertex", "_c")
-        if delta < n * tol:
-            converged = True
-            break
+            pre = state.join(msgs, "vertex", "left").select(
+                "vertex",
+                F.col("_c").alias("_old"),
+                (F.coalesce("_in", F.lit(0.0)) + F.col("_c")).alias("_raw"),
+            )
+            pre = iterloop.materialize(pre)
+            (l2,) = iterloop.collect_scalars(pre, [F.sqrt(F.sum(F.col("_raw") * F.col("_raw")))])
+            new_state = pre.select(
+                "vertex", "_old", (F.col("_raw") / F.lit(l2)).alias("_c")
+            )
+            new_state = iterloop.materialize(new_state)
+            (delta,) = iterloop.collect_scalars(
+                new_state, [F.sum(F.abs(F.col("_c") - F.col("_old")))]
+            )
+            state = new_state.select("vertex", "_c")
+            if delta < n * tol:
+                converged = True
+                break
 
     e.unpersist()
     if not converged and fail_on_nonconvergence:

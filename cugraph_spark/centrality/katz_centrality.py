@@ -54,33 +54,34 @@ def katz_centrality(
     state = iterloop.materialize(state)
 
     converged = False
-    for _ in range(max_iter):
-        msgs = (
-            e.join(
-                iterloop.hint_state_join(
-                    state.select(F.col("vertex").alias(SRC), "_c"), n
-                ),
-                SRC,
+    with iterloop.small_plan(edges.sparkSession, n):
+        for _ in range(max_iter):
+            msgs = (
+                e.join(
+                    iterloop.hint_state_join(
+                        state.select(F.col("vertex").alias(SRC), "_c"), n
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias("vertex"))
+                .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
             )
-            .groupBy(F.col(DST).alias("vertex"))
-            .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
-        )
-        new_state = (
-            state.join(msgs, "vertex", "left")
-            .select(
-                "vertex",
-                F.col("_c").alias("_old"),
-                (F.lit(alpha) * F.coalesce("_in", F.lit(0.0)) + F.lit(beta)).alias("_c"),
+            new_state = (
+                state.join(msgs, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.col("_c").alias("_old"),
+                    (F.lit(alpha) * F.coalesce("_in", F.lit(0.0)) + F.lit(beta)).alias("_c"),
+                )
             )
-        )
-        new_state = iterloop.materialize(new_state)
-        (delta,) = iterloop.collect_scalars(
-            new_state, [F.sum(F.abs(F.col("_c") - F.col("_old")))]
-        )
-        state = new_state.select("vertex", "_c")
-        if delta < tol:
-            converged = True
-            break
+            new_state = iterloop.materialize(new_state)
+            (delta,) = iterloop.collect_scalars(
+                new_state, [F.sum(F.abs(F.col("_c") - F.col("_old")))]
+            )
+            state = new_state.select("vertex", "_c")
+            if delta < tol:
+                converged = True
+                break
 
     e.unpersist()
     if not converged and fail_on_nonconvergence:

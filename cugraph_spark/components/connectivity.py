@@ -40,46 +40,47 @@ def weakly_connected_components(G: Graph) -> DataFrame:
     labels = G.vertices_internal.select("vertex", F.col("vertex").alias("label"))
     labels = iterloop.materialize(labels)
     it = 0
-    while True:
-        it += 1
-        # min label over closed neighborhood (vertex itself + in-neighbors)
-        nbr_min = (
-            edges.join(
-                iterloop.hint_state_join(
-                    labels.select(F.col("vertex").alias(SRC), "label"),
-                    G.number_of_vertices(),
-                ),
-                SRC,
+    with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
+        while True:
+            it += 1
+            # min label over closed neighborhood (vertex itself + in-neighbors)
+            nbr_min = (
+                edges.join(
+                    iterloop.hint_state_join(
+                        labels.select(F.col("vertex").alias(SRC), "label"),
+                        G.number_of_vertices(),
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias("vertex"))
+                .agg(F.min("label").alias("_nbr"))
             )
-            .groupBy(F.col(DST).alias("vertex"))
-            .agg(F.min("label").alias("_nbr"))
-        )
-        prop = (
-            labels.join(nbr_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias("label"),
-                F.col("label").alias("_old"),
+            prop = (
+                labels.join(nbr_min, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias("label"),
+                    F.col("label").alias("_old"),
+                )
             )
-        )
-        # two-hop shortcut: each vertex also adopts the min label currently
-        # pointing at its label (label -> min(labels that share it))
-        lab_min = prop.groupBy(F.col("label").alias("_lab")).agg(F.min("vertex").alias("_root"))
-        new_labels = (
-            prop.join(lab_min, prop["label"] == lab_min["_lab"], "left")
-            .select(
-                "vertex",
-                F.least(F.col("label"), F.coalesce("_root", F.col("label"))).alias("label"),
-                "_old",
+            # two-hop shortcut: each vertex also adopts the min label currently
+            # pointing at its label (label -> min(labels that share it))
+            lab_min = prop.groupBy(F.col("label").alias("_lab")).agg(F.min("vertex").alias("_root"))
+            new_labels = (
+                prop.join(lab_min, prop["label"] == lab_min["_lab"], "left")
+                .select(
+                    "vertex",
+                    F.least(F.col("label"), F.coalesce("_root", F.col("label"))).alias("label"),
+                    "_old",
+                )
             )
-        )
-        new_labels = iterloop.materialize(new_labels)
-        (changes,) = iterloop.collect_scalars(
-            new_labels, [F.sum((F.col("label") != F.col("_old")).cast("long"))]
-        )
-        labels = new_labels.select("vertex", "label")
-        if not changes:
-            break
+            new_labels = iterloop.materialize(new_labels)
+            (changes,) = iterloop.collect_scalars(
+                new_labels, [F.sum((F.col("label") != F.col("_old")).cast("long"))]
+            )
+            labels = new_labels.select("vertex", "label")
+            if not changes:
+                break
 
     out = labels.withColumnRenamed("label", "labels")
     out = G.unrenumber(out, "vertex")

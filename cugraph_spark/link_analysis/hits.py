@@ -41,58 +41,59 @@ def hits(
     state = iterloop.materialize(state)
 
     auth = None
-    for _ in range(max_iter):
-        auth = (
-            e.join(
-                iterloop.hint_state_join(
-                    state.select(F.col("vertex").alias(SRC), "_h"), n
-                ),
-                SRC,
+    with iterloop.small_plan(e.sparkSession, n):
+        for _ in range(max_iter):
+            auth = (
+                e.join(
+                    iterloop.hint_state_join(
+                        state.select(F.col("vertex").alias(SRC), "_h"), n
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias("vertex"))
+                .agg(F.sum("_h").alias("_a"))
             )
-            .groupBy(F.col(DST).alias("vertex"))
-            .agg(F.sum("_h").alias("_a"))
-        )
-        auth = verts.join(auth, "vertex", "left").select(
-            "vertex", F.coalesce("_a", F.lit(0.0)).alias("_a")
-        )
-        auth = iterloop.materialize(auth)
-        hub = (
-            e.join(
-                iterloop.hint_state_join(
-                    auth.select(F.col("vertex").alias(DST), "_a"), n
-                ),
-                DST,
+            auth = verts.join(auth, "vertex", "left").select(
+                "vertex", F.coalesce("_a", F.lit(0.0)).alias("_a")
             )
-            .groupBy(F.col(SRC).alias("vertex"))
-            .agg(F.sum("_a").alias("_hraw"))
-        )
-        new_state = (
-            state.join(hub, "vertex", "left")
-            .select(
-                "vertex",
-                F.col("_h").alias("_old"),
-                F.coalesce("_hraw", F.lit(0.0)).alias("_hraw"),
+            auth = iterloop.materialize(auth)
+            hub = (
+                e.join(
+                    iterloop.hint_state_join(
+                        auth.select(F.col("vertex").alias(DST), "_a"), n
+                    ),
+                    DST,
+                )
+                .groupBy(F.col(SRC).alias("vertex"))
+                .agg(F.sum("_a").alias("_hraw"))
             )
-        )
-        new_state = iterloop.materialize(new_state)
-        hmax, amax = (
-            new_state.agg(F.max("_hraw")).collect()[0][0],
-            auth.agg(F.max("_a")).collect()[0][0],
-        )
-        hmax = hmax or 1.0
-        amax = amax or 1.0
-        new_state = iterloop.materialize(
-            new_state.select(
-                "vertex", "_old", (F.col("_hraw") / F.lit(hmax)).alias("_h")
+            new_state = (
+                state.join(hub, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.col("_h").alias("_old"),
+                    F.coalesce("_hraw", F.lit(0.0)).alias("_hraw"),
+                )
             )
-        )
-        auth = auth.select("vertex", (F.col("_a") / F.lit(amax)).alias("_a"))
-        (delta,) = iterloop.collect_scalars(
-            new_state, [F.sum(F.abs(F.col("_h") - F.col("_old")))]
-        )
-        state = new_state.select("vertex", "_h")
-        if delta < n * tol:
-            break
+            new_state = iterloop.materialize(new_state)
+            hmax, amax = (
+                new_state.agg(F.max("_hraw")).collect()[0][0],
+                auth.agg(F.max("_a")).collect()[0][0],
+            )
+            hmax = hmax or 1.0
+            amax = amax or 1.0
+            new_state = iterloop.materialize(
+                new_state.select(
+                    "vertex", "_old", (F.col("_hraw") / F.lit(hmax)).alias("_h")
+                )
+            )
+            auth = auth.select("vertex", (F.col("_a") / F.lit(amax)).alias("_a"))
+            (delta,) = iterloop.collect_scalars(
+                new_state, [F.sum(F.abs(F.col("_h") - F.col("_old")))]
+            )
+            state = new_state.select("vertex", "_h")
+            if delta < n * tol:
+                break
 
     out = state.join(iterloop.materialize(auth), "vertex").select(
         "vertex", F.col("_h").alias("hubs"), F.col("_a").alias("authorities")

@@ -155,44 +155,46 @@ def _pagerank_impl(
 
     need_sync_every_iter = has_dangling or tol > 0
     converged = False
+    spark = edges.sparkSession
     if need_sync_every_iter:
-        for it in range(max_iter):
-            msgs = (
-                norm_edges.join(
-                    iterloop.hint_state_join(
-                        state.select(F.col("vertex").alias(SRC), "_rank"), n
-                    ),
-                    SRC,
+        with iterloop.small_plan(spark, n):
+            for it in range(max_iter):
+                msgs = (
+                    norm_edges.join(
+                        iterloop.hint_state_join(
+                            state.select(F.col("vertex").alias(SRC), "_rank"), n
+                        ),
+                        SRC,
+                    )
+                    .groupBy(F.col(DST).alias("vertex"))
+                    .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
                 )
-                .groupBy(F.col(DST).alias("vertex"))
-                .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
-            )
-            new_state = (
-                state.join(msgs, "vertex", "left")
-                .select(
-                    "vertex", "_p", "_dang", F.col("_rank").alias("_prev"),
-                    (
-                        (1.0 - alpha) * F.col("_p")
-                        + alpha * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_sum or 0.0) * F.col("_p"))
-                    ).alias("_rank"),
+                new_state = (
+                    state.join(msgs, "vertex", "left")
+                    .select(
+                        "vertex", "_p", "_dang", F.col("_rank").alias("_prev"),
+                        (
+                            (1.0 - alpha) * F.col("_p")
+                            + alpha * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_sum or 0.0) * F.col("_p"))
+                        ).alias("_rank"),
+                    )
                 )
-            )
-            # the state feeds two places per pass (message join + rank
-            # update), so it must be cut every pass or the lazy chain
-            # re-executes prior passes once per downstream use
-            new_state = iterloop.materialize(new_state)
-            delta, dangling_sum = iterloop.collect_scalars(
-                new_state,
-                [
-                    F.sum(F.abs(F.col("_rank") - F.col("_prev"))),
-                    F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0)),
-                ],
-            )
-            if tol > 0 and delta is not None and delta < tol:
+                # the state feeds two places per pass (message join + rank
+                # update), so it must be cut every pass or the lazy chain
+                # re-executes prior passes once per downstream use
+                new_state = iterloop.materialize(new_state)
+                delta, dangling_sum = iterloop.collect_scalars(
+                    new_state,
+                    [
+                        F.sum(F.abs(F.col("_rank") - F.col("_prev"))),
+                        F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0)),
+                    ],
+                )
+                if tol > 0 and delta is not None and delta < tol:
+                    state = new_state.select("vertex", "_p", "_dang", "_rank")
+                    converged = True
+                    break
                 state = new_state.select("vertex", "_p", "_dang", "_rank")
-                converged = True
-                break
-            state = new_state.select("vertex", "_p", "_dang", "_rank")
         out = state.select("vertex", F.col("_rank").alias("pagerank"))
     else:
         # Fixed-iteration, no-dangling path (tol=0): split the static
@@ -206,26 +208,27 @@ def _pagerank_impl(
         base = iterloop.persist(state.select("vertex", "_p"))
         base.count()
         ranks = state.select("vertex", "_rank")
-        for it in range(max_iter):
-            msgs = (
-                norm_edges.join(
-                    iterloop.hint_state_join(
-                        ranks.select(F.col("vertex").alias(SRC), "_rank"), n
-                    ),
-                    SRC,
+        with iterloop.small_plan(spark, n):
+            for it in range(max_iter):
+                msgs = (
+                    norm_edges.join(
+                        iterloop.hint_state_join(
+                            ranks.select(F.col("vertex").alias(SRC), "_rank"), n
+                        ),
+                        SRC,
+                    )
+                    .groupBy(F.col(DST).alias("vertex"))
+                    .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
                 )
-                .groupBy(F.col(DST).alias("vertex"))
-                .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
-            )
-            ranks = base.join(msgs, "vertex", "left").select(
-                "vertex",
-                (
-                    (1.0 - alpha) * F.col("_p")
-                    + alpha * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("_rank"),
-            )
-            ranks = iterloop.truncate_lineage(ranks, it + 1, _FAST_PATH_CHECKPOINT_INTERVAL)
-        ranks = iterloop.materialize(ranks)
+                ranks = base.join(msgs, "vertex", "left").select(
+                    "vertex",
+                    (
+                        (1.0 - alpha) * F.col("_p")
+                        + alpha * F.coalesce(F.col("_in"), F.lit(0.0))
+                    ).alias("_rank"),
+                )
+                ranks = iterloop.truncate_lineage(ranks, it + 1, _FAST_PATH_CHECKPOINT_INTERVAL)
+            ranks = iterloop.materialize(ranks)
         base.unpersist()
         out = ranks.select("vertex", F.col("_rank").alias("pagerank"))
 

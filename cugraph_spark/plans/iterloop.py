@@ -24,9 +24,10 @@ join key means only the small vertex side shuffles each iteration.
 
 from __future__ import annotations
 
-from typing import Sequence
+from contextlib import contextmanager
+from typing import Iterator, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 
@@ -113,6 +114,31 @@ def persist(df: DataFrame) -> DataFrame:
 # 16 bytes/row, well within executor memory on any sane cluster. Above it,
 # the co-partitioned shuffle join is the scalable path.
 BROADCAST_STATE_MAX_ROWS = 2_000_000
+
+
+@contextmanager
+def small_plan(spark: SparkSession, n_rows: int | None) -> Iterator[bool]:
+    """Disable AQE for the duration of an iteration loop whose join shapes
+    are fully known and small.
+
+    When the per-iteration vertex state fits the broadcast threshold, every
+    join in the loop is already hinted (``hint_state_join``) and the only
+    shuffle is a small fixed-size aggregation — AQE's per-shuffle re-plan
+    (an extra driver sync + stage submission per exchange, dozens of times
+    per algorithm) is pure overhead: 30-iteration pagerank at sf0.1 drops
+    12.5s -> 10s, BFS 8.6s -> 4.2s. Above the threshold the loop relies on
+    co-partitioned shuffle joins where AQE's runtime coalescing and
+    skew-splitting are exactly what we want at 100 TB, so AQE is left on.
+    """
+    if n_rows is not None and n_rows <= BROADCAST_STATE_MAX_ROWS:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield True
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    else:
+        yield False
 
 
 def hint_state_join(state: DataFrame, n_rows: int | None):

@@ -48,33 +48,34 @@ def bfs(
     )
     frontier = visited.select("vertex")
     depth = 0
-    while depth_limit is None or depth < depth_limit:
-        nxt = (
-            edges.join(
-                iterloop.hint_state_join(
-                    frontier.withColumnRenamed("vertex", SRC), G.number_of_vertices()
-                ),
-                SRC,
+    with iterloop.small_plan(spark, G.number_of_vertices()):
+        while depth_limit is None or depth < depth_limit:
+            nxt = (
+                edges.join(
+                    iterloop.hint_state_join(
+                        frontier.withColumnRenamed("vertex", SRC), G.number_of_vertices()
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias("vertex"))
+                .agg(F.min(SRC).alias("predecessor"))
+                .join(
+                    iterloop.hint_state_join(
+                        visited.select("vertex"), G.number_of_vertices()
+                    ),
+                    "vertex",
+                    "left_anti",
+                )
             )
-            .groupBy(F.col(DST).alias("vertex"))
-            .agg(F.min(SRC).alias("predecessor"))
-            .join(
-                iterloop.hint_state_join(
-                    visited.select("vertex"), G.number_of_vertices()
-                ),
-                "vertex",
-                "left_anti",
+            depth += 1
+            nxt = iterloop.materialize(
+                nxt.select("vertex", F.lit(depth).cast("int").alias("distance"), "predecessor")
             )
-        )
-        depth += 1
-        nxt = iterloop.materialize(
-            nxt.select("vertex", F.lit(depth).cast("int").alias("distance"), "predecessor")
-        )
-        n_new = nxt.count()
-        if n_new == 0:
-            break
-        visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
-        frontier = nxt.select("vertex")
+            n_new = nxt.count()
+            if n_new == 0:
+                break
+            visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
+            frontier = nxt.select("vertex")
 
     out = (
         G.vertices_internal.join(visited, "vertex", "left")
@@ -148,36 +149,37 @@ def multi_source_bfs(
     )
     frontier = visited.select("source", "vertex")
     depth = 0
-    while depth_limit is None or depth < depth_limit:
-        nxt = (
-            edges.join(
-                iterloop.hint_state_join(
-                    frontier.withColumnRenamed("vertex", SRC),
-                    G.number_of_vertices() * max(len(ids), 1),
-                ),
-                SRC,
+    with iterloop.small_plan(spark, G.number_of_vertices() * max(len(ids), 1)):
+        while depth_limit is None or depth < depth_limit:
+            nxt = (
+                edges.join(
+                    iterloop.hint_state_join(
+                        frontier.withColumnRenamed("vertex", SRC),
+                        G.number_of_vertices() * max(len(ids), 1),
+                    ),
+                    SRC,
+                )
+                .groupBy("source", F.col(DST).alias("vertex"))
+                .agg(F.min(SRC).alias("predecessor"))
+                .join(
+                    iterloop.hint_state_join(
+                        visited.select("source", "vertex"),
+                        G.number_of_vertices() * max(len(ids), 1),
+                    ),
+                    ["source", "vertex"],
+                    "left_anti",
+                )
             )
-            .groupBy("source", F.col(DST).alias("vertex"))
-            .agg(F.min(SRC).alias("predecessor"))
-            .join(
-                iterloop.hint_state_join(
-                    visited.select("source", "vertex"),
-                    G.number_of_vertices() * max(len(ids), 1),
-                ),
-                ["source", "vertex"],
-                "left_anti",
+            depth += 1
+            nxt = iterloop.materialize(
+                nxt.select(
+                    "source", "vertex", F.lit(depth).cast("int").alias("distance"), "predecessor"
+                )
             )
-        )
-        depth += 1
-        nxt = iterloop.materialize(
-            nxt.select(
-                "source", "vertex", F.lit(depth).cast("int").alias("distance"), "predecessor"
-            )
-        )
-        if nxt.count() == 0:
-            break
-        visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
-        frontier = nxt.select("source", "vertex")
+            if nxt.count() == 0:
+                break
+            visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
+            frontier = nxt.select("source", "vertex")
 
     out = visited
     out = G.unrenumber(out, "vertex")

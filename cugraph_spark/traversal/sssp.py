@@ -41,50 +41,51 @@ def sssp(
         [(sid, 0.0, -1, True)],
         "vertex long, distance double, predecessor long, _impr boolean",
     )
-    while True:
-        # relax edges out of last round's improved vertices (the frontier)
-        cand = (
-            edges.join(
-                iterloop.hint_state_join(
-                    dist.filter(F.col("_impr")).select(
-                        F.col("vertex").alias(SRC), F.col("distance").alias("_d")
+    with iterloop.small_plan(spark, G.number_of_vertices()):
+        while True:
+            # relax edges out of last round's improved vertices (the frontier)
+            cand = (
+                edges.join(
+                    iterloop.hint_state_join(
+                        dist.filter(F.col("_impr")).select(
+                            F.col("vertex").alias(SRC), F.col("distance").alias("_d")
+                        ),
+                        G.number_of_vertices(),
                     ),
-                    G.number_of_vertices(),
-                ),
-                SRC,
+                    SRC,
+                )
+                .select(
+                    F.col(DST).alias("vertex"),
+                    (F.col("_d") + F.col("_w")).alias("_nd"),
+                    F.col(SRC).alias("_np"),
+                )
             )
-            .select(
-                F.col(DST).alias("vertex"),
-                (F.col("_d") + F.col("_w")).alias("_nd"),
-                F.col(SRC).alias("_np"),
+            if cutoff is not None:
+                cand = cand.filter(F.col("_nd") <= cutoff)
+            cand = (
+                cand.groupBy("vertex")
+                .agg(F.min(F.struct(F.col("_nd"), F.col("_np"))).alias("_best"))
+                .select("vertex", F.col("_best._nd").alias("_nd"), F.col("_best._np").alias("_np"))
             )
-        )
-        if cutoff is not None:
-            cand = cand.filter(F.col("_nd") <= cutoff)
-        cand = (
-            cand.groupBy("vertex")
-            .agg(F.min(F.struct(F.col("_nd"), F.col("_np"))).alias("_best"))
-            .select("vertex", F.col("_best._nd").alias("_nd"), F.col("_best._np").alias("_np"))
-        )
-        # one fused update+improved-flag pass: dist comes back from the
-        # checkpoint hash-partitioned on vertex and cand leaves its groupBy
-        # likewise, so this full-outer join adds no exchange
-        better = F.col("_nd").isNotNull() & (
-            F.col("distance").isNull() | (F.col("_nd") < F.col("distance"))
-        )
-        dist = iterloop.materialize(
-            dist.join(cand, "vertex", "full_outer").select(
-                "vertex",
-                F.when(better, F.col("_nd")).otherwise(F.col("distance")).alias("distance"),
-                F.when(better, F.col("_np")).otherwise(F.col("predecessor")).alias("predecessor"),
-                better.alias("_impr"),
+            # one fused update+improved-flag pass: dist comes back from the
+            # checkpoint hash-partitioned on vertex and cand leaves its groupBy
+            # likewise, so this full-outer join adds no exchange
+            better = F.col("_nd").isNotNull() & (
+                F.col("distance").isNull() | (F.col("_nd") < F.col("distance"))
             )
-        )
-        (n_improved,) = iterloop.collect_scalars(
-            dist, [F.sum(F.col("_impr").cast("long"))]
-        )
-        if not n_improved:
-            break
+            dist = iterloop.materialize(
+                dist.join(cand, "vertex", "full_outer").select(
+                    "vertex",
+                    F.when(better, F.col("_nd")).otherwise(F.col("distance")).alias("distance"),
+                    F.when(better, F.col("_np")).otherwise(F.col("predecessor")).alias("predecessor"),
+                    better.alias("_impr"),
+                )
+            )
+            (n_improved,) = iterloop.collect_scalars(
+                dist, [F.sum(F.col("_impr").cast("long"))]
+            )
+            if not n_improved:
+                break
     dist = dist.drop("_impr")
 
     # deterministic predecessors: recompute globally as the MIN u with

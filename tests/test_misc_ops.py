@@ -142,3 +142,24 @@ def test_matching(spark):
     g.from_edgelist(spark.createDataFrame(rows, ["src", "dst", "weight"]), "src", "dst", weight="weight")
     m = {r["vertex"]: r["match"] for r in approximate_weighted_matching(g).collect()}
     assert m == {0: 1, 1: 0, 2: 3, 3: 2}
+
+
+def test_small_plan_toggles_and_restores_aqe(spark):
+    from cugraph_spark.plans import iterloop
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    with iterloop.small_plan(spark, 100) as small:
+        assert small is True
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    # above the broadcast threshold the loop keeps AQE (the scale path)
+    with iterloop.small_plan(spark, iterloop.BROADCAST_STATE_MAX_ROWS + 1) as small:
+        assert small is False
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    # restored even when the loop body raises
+    with pytest.raises(RuntimeError):
+        with iterloop.small_plan(spark, 100):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
