@@ -43,18 +43,26 @@ def main() -> None:
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
 
-    # -- untimed warmup: exercise scan/join/agg/broadcast/checkpoint once so
-    # the timed sections measure the operators, not one-time JVM
-    # classloading + codegen (the reference's pytest-benchmark harness
-    # likewise runs warmup rounds before measuring)
+    # -- untimed warmup: exercise each algorithm's plan shape once on a
+    # tiny graph so the timed sections measure steady-state operator cost,
+    # not one-time JVM classloading + whole-stage-codegen compilation (the
+    # reference's pytest-benchmark harness likewise runs warmup rounds
+    # before measuring)
     supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet").select("s_suppkey")
-    (
-        supp.join(F.broadcast(supp.limit(100)), "s_suppkey", "left")
-        .groupBy("s_suppkey")
-        .count()
-        .localCheckpoint(eager=True)
-        .count()
+    tiny = (
+        supp.limit(200)
+        .select(
+            F.col("s_suppkey").alias("src"),
+            ((F.col("s_suppkey") * 7 % 200) + 1).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
     )
+    gw = Graph(directed=False)
+    gw.from_edgelist(tiny, "src", "dst", weight="weight")
+    pagerank(gw, max_iter=2, tol=0.0, fail_on_nonconvergence=False).count()
+    bfs(gw, gw.nodes().first()[0]).count()
+    weakly_connected_components(gw).count()
+    sssp(gw, gw.nodes().first()[0]).count()
 
     # -- graph build: customer<->supplier bipartite ------------------------
     with timed("graph_build"):

@@ -132,11 +132,24 @@ def small_plan(spark: SparkSession, n_rows: int | None) -> Iterator[bool]:
     """
     if n_rows is not None and n_rows <= BROADCAST_STATE_MAX_ROWS:
         prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # The only shuffles left in a broadcast-hinted loop carry ≤|V| rows
+        # after map-side partial aggregation; scheduling 32+ reduce tasks
+        # for that is pure per-task overhead (30-iter pagerank at sf0.1:
+        # 13.1s @ 32 partitions -> 9.2s @ 8). Eight tasks still saturate
+        # the reduce side for any state under the broadcast threshold.
+        try:
+            if int(prev_sp) > 8:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+        except ValueError:
+            prev_sp = None
         try:
             yield True
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
+            if prev_sp is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     else:
         yield False
 
