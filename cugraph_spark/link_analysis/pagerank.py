@@ -200,36 +200,73 @@ def _pagerank_impl(
         # Fixed-iteration, no-dangling path (tol=0): split the static
         # per-vertex columns (_p) into a persisted base table so the loop
         # state is just (vertex, _rank) and is consumed exactly ONCE per
-        # pass (inside the message join). A once-consumed state chains
-        # lazily without recompute blowup, so lineage only needs cutting
-        # every few passes — K iterations collapse into one Spark job
-        # (with K nested broadcast exchanges) instead of K jobs + K
-        # checkpoint writes.
-        base = iterloop.persist(state.select("vertex", "_p"))
-        base.count()
+        # pass (inside the message join).
+        #
+        # Leanest variant: when the reset vector is uniform AND every
+        # vertex has an incoming edge (always true for symmetrized
+        # undirected graphs in this path — no dangling ⇒ every vertex has
+        # out-edges ⇒ symmetry gives it in-edges), the per-pass static
+        # join disappears entirely: the groupBy over messages already
+        # emits every vertex, so rank' = (1-α)/n + α·Σ folds into the
+        # aggregate (15-iter at sf0.1: 4.2s -> 2.8s with the edge-side
+        # partition floor).
+        uniform_p = personalization is None
+        if uniform_p:
+            if not G.properties.directed:
+                all_have_in = True
+            else:
+                no_in = verts.join(
+                    edges.select(F.col(DST).alias("vertex")).distinct(), "vertex", "left_anti"
+                )
+                all_have_in = no_in.limit(1).count() == 0
+        else:
+            all_have_in = False
         ranks = state.select("vertex", "_rank")
-        with iterloop.small_plan(spark, n):
-            for it in range(max_iter):
-                msgs = (
-                    norm_edges.join(
-                        iterloop.hint_state_join(
-                            ranks.select(F.col("vertex").alias(SRC), "_rank"), n
-                        ),
-                        SRC,
+        if uniform_p and all_have_in:
+            with iterloop.small_plan(spark, n):
+                for it in range(max_iter):
+                    ranks = (
+                        norm_edges.join(
+                            iterloop.hint_state_join(
+                                ranks.select(F.col("vertex").alias(SRC), "_rank"), n
+                            ),
+                            SRC,
+                        )
+                        .groupBy(F.col(DST).alias("vertex"))
+                        .agg(
+                            (
+                                F.lit((1.0 - alpha) / n)
+                                + alpha * F.sum(F.col("_coef") * F.col("_rank"))
+                            ).alias("_rank")
+                        )
                     )
-                    .groupBy(F.col(DST).alias("vertex"))
-                    .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
-                )
-                ranks = base.join(msgs, "vertex", "left").select(
-                    "vertex",
-                    (
-                        (1.0 - alpha) * F.col("_p")
-                        + alpha * F.coalesce(F.col("_in"), F.lit(0.0))
-                    ).alias("_rank"),
-                )
-                ranks = iterloop.truncate_lineage(ranks, it + 1, _FAST_PATH_CHECKPOINT_INTERVAL)
-            ranks = iterloop.materialize(ranks)
-        base.unpersist()
+                    ranks = iterloop.truncate_lineage(ranks, it + 1, _FAST_PATH_CHECKPOINT_INTERVAL)
+                ranks = iterloop.materialize(ranks)
+        else:
+            base = iterloop.persist(state.select("vertex", "_p"))
+            base.count()
+            with iterloop.small_plan(spark, n):
+                for it in range(max_iter):
+                    msgs = (
+                        norm_edges.join(
+                            iterloop.hint_state_join(
+                                ranks.select(F.col("vertex").alias(SRC), "_rank"), n
+                            ),
+                            SRC,
+                        )
+                        .groupBy(F.col(DST).alias("vertex"))
+                        .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
+                    )
+                    ranks = base.join(msgs, "vertex", "left").select(
+                        "vertex",
+                        (
+                            (1.0 - alpha) * F.col("_p")
+                            + alpha * F.coalesce(F.col("_in"), F.lit(0.0))
+                        ).alias("_rank"),
+                    )
+                    ranks = iterloop.truncate_lineage(ranks, it + 1, _FAST_PATH_CHECKPOINT_INTERVAL)
+                ranks = iterloop.materialize(ranks)
+            base.unpersist()
         out = ranks.select("vertex", F.col("_rank").alias("pagerank"))
 
     norm_edges.unpersist()

@@ -40,6 +40,14 @@ from .symmetrize import add_reverse_edges, symmetrize_df
 _EDGE_PARTITION_TARGET_BYTES = 32 * 1024 * 1024
 
 
+def spark_parallelism(spark) -> int:
+    """Total task slots across the cluster (executors × cores)."""
+    try:
+        return int(spark.sparkContext.defaultParallelism)
+    except Exception:
+        return 32
+
+
 class Properties:
     """Graph properties (reference: simpleGraph.py:79-89)."""
 
@@ -175,6 +183,13 @@ class Graph:
         self.properties.edge_count = n_rows
         row_bytes = 8 * len(edges.columns) + 16
         ideal = max(1, -(-n_rows * row_bytes // _EDGE_PARTITION_TARGET_BYTES))
+        # Floor at cores/4: per-pass scans of this table should keep the
+        # cluster busy even when the bytes rule would pack everything into
+        # 1-2 partitions (15-iter pagerank at sf0.1: 4.0s @ 2 parts ->
+        # 2.8s @ 8; 16+ is slower again — scheduling overhead). At 100 TB
+        # the bytes rule dominates and this floor is a no-op.
+        cores = spark_parallelism(df.sparkSession)
+        ideal = max(ideal, max(1, cores // 4))
         if ideal < shuffle_parts // 2 or ideal > shuffle_parts * 2:
             resized = edges.repartition(int(ideal), SRC).persist(StorageLevel.MEMORY_AND_DISK)
             resized.count()
