@@ -70,7 +70,11 @@ def negative_sampling(
             cand = cand.dropDuplicates([SRC, DST])
         if remove_false_negatives:
             cand = cand.join(edges, [SRC, DST], "left_anti")
-        cand = iterloop.materialize(cand.limit(need))
+        # deterministic top-k by a pair hash (not .limit(), whose row choice
+        # depends on physical partition order): keeps the draw uniform AND
+        # makes the operator a pure function of (graph, seed) — oracle-able
+        pick = F.xxhash64(SRC, DST, F.lit(random_state))
+        cand = iterloop.materialize(cand.orderBy(pick, SRC, DST).limit(need))
         result = cand if result is None else iterloop.materialize(
             result.unionByName(cand).dropDuplicates([SRC, DST])
         )
@@ -80,7 +84,11 @@ def negative_sampling(
         need = num_samples - got
         seed += 7919
 
-    out = result.limit(num_samples) if exact_number_of_samples else result
+    if exact_number_of_samples:
+        pick = F.xxhash64(SRC, DST, F.lit(random_state))
+        out = result.orderBy(pick, SRC, DST).limit(num_samples)
+    else:
+        out = result
     out = G.unrenumber(out, SRC)
     out = G.unrenumber(out, DST)
     return out

@@ -1246,16 +1246,28 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"))
 
 
-@register("embed_topk_lsh")  # approximate: rows-only check (no exact oracle)
+@register("embed_topk_lsh")
 def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path; approximate → rows-only check)."""
+    """LSH-bucketed ANN (scale path). Approximate vs brute force, but a
+    pure function of (embeddings, seed) — exact oracle below embeds the
+    same driver-generated hyperplanes as SQL literals."""
     from cugraph_spark.pipelines.similarity_search import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(emb, q, k=5, n_planes=6)
+    out = lsh_topk(emb, q, k=5, n_planes=6)
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def _lsh_oracle() -> str:
+    from cugraph_spark.testing.oracles import lsh_topk_oracle_sql
+
+    return lsh_topk_oracle_sql(dim=64, n_planes=6, k=5, n_queries=10)
+
+
+ORACLES["embed_topk_lsh"] = _lsh_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1640,12 +1652,35 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(g, seed=42)
 
 
+def _mis_oracle() -> str:
+    from cugraph_spark.testing.oracles import mis_oracle_sql
+
+    # converges in 4 rounds at sf0.01; extra rounds are no-ops
+    return mis_oracle_sql(COPURCHASE_SPARSE_SQL, "cps_edges", rounds=8)
+
+
+# exact oracle: unrolled Luby rounds with per-round xxhash64 priorities
+ORACLES["mis_copurchase_sparse"] = _mis_oracle()
+
+
 @register("vertex_coloring_copurchase_sparse")
 def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark import vertex_coloring
 
     g = copurchase_sparse_graph(spark, sf_dir)
     return vertex_coloring(g, seed=42)
+
+
+def _coloring_oracle() -> str:
+    from cugraph_spark.testing.oracles import vertex_coloring_oracle_sql
+
+    # converges in 4 speculative rounds at sf0.01 (+3 fixed compaction
+    # sweeps); extra rounds are no-ops
+    return vertex_coloring_oracle_sql(COPURCHASE_SPARSE_SQL, "cps_edges", rounds=7)
+
+
+# exact oracle: unrolled speculative-coloring rounds + compaction sweeps
+ORACLES["vertex_coloring_copurchase_sparse"] = _coloring_oracle()
 
 
 @register("matching_part_supp")
@@ -1662,6 +1697,50 @@ def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approximate_weighted_matching(g)
 
 
+PART_SUPP_W_SQL = f"""
+psw_w AS MATERIALIZED (
+    SELECT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst,
+           SUM(l_quantity)::DOUBLE AS weight
+    FROM lineitem GROUP BY 1, 2
+),
+psw_edges AS MATERIALIZED (
+    SELECT src, dst, weight FROM psw_w
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM psw_w
+)
+"""
+
+
+def _matching_oracle() -> str:
+    from cugraph_spark.testing.oracles import matching_oracle_sql
+
+    # converges in 2 rounds at sf0.01; extra rounds are no-ops.
+    # l_quantity sums are integer-valued doubles -> exact across engines.
+    return matching_oracle_sql(PART_SUPP_W_SQL, "psw_edges", rounds=6)
+
+
+# exact oracle: unrolled mutual-best handshake rounds
+ORACLES["matching_part_supp"] = _matching_oracle()
+
+
+def _mst_oracle() -> str:
+    from cugraph_spark.testing.oracles import mst_oracle_sql
+
+    # converges in 4 Boruvka rounds / <=7 label-prop iters at sf0.01;
+    # extra rounds and iterations are no-ops
+    return mst_oracle_sql(PART_SUPP_W_SQL, "psw_edges", rounds=6, label_iters=10)
+
+
+# exact oracle: unrolled Boruvka rounds, total-order edge picks
+ORACLES["mst_part_supp"] = _mst_oracle()
+
+
+def _walks_oracle() -> str:
+    from cugraph_spark.testing.oracles import uniform_walk_path_oracle_sql
+
+    return uniform_walk_path_oracle_sql(CUST_SUPP_SQL, "cs_edges", 20, 4)
+
+
 @register("random_walks_cust_supp")
 def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark import uniform_random_walks
@@ -1676,6 +1755,11 @@ def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact oracle: the walk's per-step xxhash64 neighbor pick replicated in
+# DuckDB (testing/oracles.py) — deterministic given (walk_id, step, dst)
+ORACLES["random_walks_cust_supp"] = _walks_oracle()
+
+
 @register("neighbor_sample_cust_supp")
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark import homogeneous_neighbor_sample
@@ -1683,6 +1767,18 @@ def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = cust_supp_graph(spark, sf_dir)
     starts = [r["vertex"] for r in g.nodes().filter(F.col("vertex") < 20_000_000).orderBy("vertex").limit(10).collect()]
     return homogeneous_neighbor_sample(g, starts, [3, 2], with_batch_ids=True)
+
+
+def _neighbor_sample_oracle() -> str:
+    from cugraph_spark.testing.oracles import neighbor_sample_oracle_sql
+
+    return neighbor_sample_oracle_sql(
+        CUST_SUPP_SQL, "cs_edges", 10, [3, 2], starts_where="src < 20000000"
+    )
+
+
+# exact oracle: per-hop xxhash64 top-fanout pick replicated in DuckDB
+ORACLES["neighbor_sample_cust_supp"] = _neighbor_sample_oracle()
 
 
 @register("negative_sampling_cust_supp")
@@ -1693,11 +1789,32 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sampling(g, 200, exact_number_of_samples=True)
 
 
-@register("rmat_scale12")
+def _negative_sampling_oracle() -> str:
+    from cugraph_spark.testing.oracles import negative_sampling_oracle_sql
+
+    return negative_sampling_oracle_sql(CUST_SUPP_SQL, "cs_edges", 200)
+
+
+# exact oracle: hash-seeded draws + deterministic pair-hash top-k
+ORACLES["negative_sampling_cust_supp"] = _negative_sampling_oracle()
+
+
+def _rmat_oracle() -> str:
+    from cugraph_spark.testing.oracles import rmat_oracle_sql
+
+    return rmat_oracle_sql(12, 1 << 14, seed=42)
+
+
+@register("rmat_scale12", oracle=None)
 def q_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark import rmat
 
     return rmat(12, 1 << 14, seed=42, spark=spark)
+
+
+# exact oracle: the generator's xxhash64 PRNG replicated in DuckDB SQL
+# (testing/oracles.py) — the R-MAT output is a pure function of (id, seed)
+ORACLES["rmat_scale12"] = _rmat_oracle()
 
 
 @register(
