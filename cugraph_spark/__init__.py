@@ -124,6 +124,9 @@ def __getattr__(name):
         "hungarian": ".linear_assignment.lap",
         "dense_hungarian": ".linear_assignment.lap",
         "symmetrize": ".structure.symmetrize",
+        "NumberMap": ".structure.number_map",
+        "concurrent_bfs": ".traversal.bfs",
+        "select_random_vertices": ".structure.graph",
     }
     if name in lazy:
         mod = importlib.import_module(lazy[name], __name__)

@@ -452,3 +452,9 @@ class BiPartiteGraph(Graph):
 
     def sets(self):
         return self._partitions
+
+
+def select_random_vertices(G: Graph, random_state: int, num_vertices: int) -> DataFrame:
+    """Module-level form of ``Graph.select_random_vertices``
+    (structure/select_random_vertices_impl.cuh via simpleGraph.py:932)."""
+    return G.select_random_vertices(random_state, num_vertices)
