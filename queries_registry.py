@@ -1270,6 +1270,21 @@ def _lsh_oracle() -> str:
 ORACLES["embed_topk_lsh"] = _lsh_oracle()
 
 
+@register("embed_topk_ivf")  # kmeans centroid means are float-order
+# sensitive across engines -> rows-only check; recall vs brute force is
+# pytest-asserted (tests/test_pipelines.py::test_ivf_topk)
+def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-clustered ANN (the n_probe/n_lists-fraction scan scale path)."""
+    from cugraph_spark.pipelines.similarity_search import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, q, k=5, n_lists=8, n_probe=3, kmeans_iters=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Betweenness centrality — exact unrolled-Brandes SQL oracle (forward
 # sigma-BFS + backward dependency accumulation, all sources at once).

@@ -123,6 +123,27 @@ def test_lsh_topk_recalls_identical(vectors):
     assert 0 in ids and 100 in ids  # same-direction vectors share every bucket
 
 
+def test_ivf_topk(vectors):
+    from cugraph_spark.pipelines.similarity_search import brute_force_topk, ivf_topk
+
+    q = vectors.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(vectors, q, k=3)
+    approx = ivf_topk(vectors, q, k=3, n_lists=4, n_probe=2, kmeans_iters=3)
+    # identical-direction pair lands in the same list -> always recalled
+    ids0 = [r["vec_id"] for r in approx.filter(F.col("query_id") == 0).collect()]
+    assert 0 in ids0 and 100 in ids0
+    # recall@3 against brute force with half the lists probed
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.5
+    # deterministic: a second run returns the identical result set
+    again = {(r["query_id"], r["vec_id"]) for r in
+             ivf_topk(vectors, q, k=3, n_lists=4, n_probe=2, kmeans_iters=3).collect()}
+    assert ap == again
+
+
 def test_embedding_near_duplicates(vectors):
     out = {(r["first"], r["second"]): r["cosine"] for r in embedding_near_duplicates(vectors, threshold=0.99).collect()}
     assert (0, 100) in out
