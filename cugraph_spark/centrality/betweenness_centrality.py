@@ -72,6 +72,13 @@ def _brandes(G: Graph, k, seed, want_edges: bool):
         n_sources = k
     seeds = iterloop.materialize(seeds)
 
+    # per-iteration state is (source, vertex) pairs — small-plan while
+    # n_sources * |V| stays in the broadcast regime
+    with iterloop.small_plan(edges.sparkSession, n * n_sources):
+        return _brandes_run(G, edges, seeds, n, n_sources, want_edges)
+
+
+def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool):
     visited, dmax = _forward(edges, seeds)
     visited = iterloop.persist(visited)
 

@@ -47,14 +47,19 @@ def ktruss_subgraph(G: Graph, k: int) -> Graph:
     )
     und = iterloop.materialize(und)
     it = 0
-    while True:
-        it += 1
-        sup = _edge_support(und)
-        keep = iterloop.materialize(sup.filter(F.col("_sup") >= k - 2).select(SRC, DST))
-        n_before, n_after = und.count(), keep.count()
-        und = keep
-        if n_after == n_before or n_after == 0:
-            break
+    # loop state is the (halved) edge list itself — small-plan applies
+    # while it fits the broadcast-size regime
+    with iterloop.small_plan(
+        und.sparkSession, (G.number_of_edges(directed_edges=True) or 0) // 2
+    ):
+        while True:
+            it += 1
+            sup = _edge_support(und)
+            keep = iterloop.materialize(sup.filter(F.col("_sup") >= k - 2).select(SRC, DST))
+            n_before, n_after = und.count(), keep.count()
+            und = keep
+            if n_after == n_before or n_after == 0:
+                break
 
     # back to external ids via the parent graph's map, keep weights
     pairs = und

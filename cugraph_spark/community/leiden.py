@@ -73,26 +73,29 @@ def leiden(
     mapping = G.vertices_internal.select("vertex", F.col("vertex").alias("community"))
     q_final = 0.0
 
-    for level in range(max_level):
-        assign, q = _one_level(edges, resolution, min(max_iter, 20), threshold)
-        assign = _split_disconnected(edges, assign)  # the Leiden guarantee
-        q = modularity_of(edges, assign, resolution)
-        mapping = iterloop.materialize(
-            mapping.join(
-                assign.select(F.col("vertex").alias("community"), F.col("community").alias("_n")),
-                "community",
-            ).select("vertex", F.col("_n").alias("community"))
-        )
-        q_final = q
-        n_comms = assign.select("community").distinct().count()
-        if n_comms == assign.count() or level == max_level - 1:
-            break
-        edges = iterloop.materialize(
-            edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
-            .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
-            .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
-            .agg(F.sum("_w").alias("_w"))
-        )
+    # vertex/community-sized state throughout -> small-state loop regime
+    # (AQE off, few shuffle partitions) for the whole dendrogram walk
+    with iterloop.small_plan(G.edgelist.sparkSession, G.number_of_vertices()):
+        for level in range(max_level):
+            assign, q = _one_level(edges, resolution, min(max_iter, 20), threshold)
+            assign = _split_disconnected(edges, assign)  # the Leiden guarantee
+            q = modularity_of(edges, assign, resolution)
+            mapping = iterloop.materialize(
+                mapping.join(
+                    assign.select(F.col("vertex").alias("community"), F.col("community").alias("_n")),
+                    "community",
+                ).select("vertex", F.col("_n").alias("community"))
+            )
+            q_final = q
+            n_comms = assign.select("community").distinct().count()
+            if n_comms == assign.count() or level == max_level - 1:
+                break
+            edges = iterloop.materialize(
+                edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
+                .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
+                .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
+                .agg(F.sum("_w").alias("_w"))
+            )
 
     out = mapping.select("vertex", F.col("community").alias("partition"))
     return G.unrenumber(out, "vertex"), q_final

@@ -93,8 +93,9 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
 
     for it in range(max_iter):
         a_dst = assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cj"))
+        hint = lambda df: iterloop.hint_state_join(df, n_verts_hint)
         sigma = (
-            assign.join(deg, "vertex")
+            assign.join(hint(deg), "vertex")
             .groupBy(F.col("community").alias("_cj"))
             .agg(F.sum("_k").alias("_sig"))
         )
@@ -106,9 +107,9 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
             .agg(F.sum("_w").alias("_wic"))
         )
         cand = (
-            wic.join(assign, "vertex")
-            .join(deg, "vertex")
-            .join(sigma, "_cj")
+            wic.join(hint(assign), "vertex")
+            .join(hint(deg), "vertex")
+            .join(hint(sigma), "_cj")
             .select(
                 "vertex",
                 "community",
@@ -168,7 +169,9 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
             break
         new_assign = (
             assign.join(
-                moves.select("vertex", F.col("community").alias("_new")), "vertex", "left"
+                hint(moves.select("vertex", F.col("community").alias("_new"))),
+                "vertex",
+                "left",
             )
             .select("vertex", F.coalesce("_new", F.col("community")).alias("community"))
         )
@@ -176,9 +179,9 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
 
     # canonical community ids: min member vertex
     canon = assign.groupBy("community").agg(F.min("vertex").alias("_canon"))
-    assign = assign.join(canon, "community").select(
-        "vertex", F.col("_canon").alias("community")
-    )
+    assign = assign.join(
+        iterloop.hint_state_join(canon, n_verts_hint), "community"
+    ).select("vertex", F.col("_canon").alias("community"))
     assign = iterloop.materialize(assign)
     q_final = modularity_of(edges, assign, resolution)  # once per level
     deg.unpersist()
@@ -206,27 +209,32 @@ def louvain(
     mapping = G.vertices_internal.select("vertex", F.col("vertex").alias("community"))
     q_final = 0.0
 
-    for level in range(max_level):
-        assign, q = _one_level(edges, resolution, max_iter, threshold)
-        mapping = iterloop.materialize(
-            mapping.join(
-                assign.select(F.col("vertex").alias("community"), F.col("community").alias("_next")),
-                "community",
-            ).select("vertex", F.col("_next").alias("community"))
-        )
-        n_comms, n_verts = iterloop.collect_scalars(
-            assign, [F.countDistinct("community"), F.count("*")]
-        )
-        q_final = q
-        if n_comms == n_verts or level == max_level - 1:
-            break
-        # coarsen: contract communities (cpp graph_contraction :267)
-        edges = iterloop.materialize(
-            edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
-            .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
-            .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
-            .agg(F.sum("_w").alias("_w"))
-        )
+    # every table in the level loop is vertex- or community-sized (the
+    # coarsened edge list shrinks level over level), so the small-state
+    # loop regime (AQE off, few shuffle partitions, broadcast hints)
+    # applies to the whole dendrogram walk
+    with iterloop.small_plan(G.edgelist.sparkSession, G.number_of_vertices()):
+        for level in range(max_level):
+            assign, q = _one_level(edges, resolution, max_iter, threshold)
+            mapping = iterloop.materialize(
+                mapping.join(
+                    assign.select(F.col("vertex").alias("community"), F.col("community").alias("_next")),
+                    "community",
+                ).select("vertex", F.col("_next").alias("community"))
+            )
+            n_comms, n_verts = iterloop.collect_scalars(
+                assign, [F.countDistinct("community"), F.count("*")]
+            )
+            q_final = q
+            if n_comms == n_verts or level == max_level - 1:
+                break
+            # coarsen: contract communities (cpp graph_contraction :267)
+            edges = iterloop.materialize(
+                edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
+                .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
+                .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
+                .agg(F.sum("_w").alias("_w"))
+            )
 
     out = mapping.select("vertex", F.col("community").alias("partition"))
     return G.unrenumber(out, "vertex"), q_final

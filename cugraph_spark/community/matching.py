@@ -27,7 +27,8 @@ def approximate_weighted_matching(G: Graph) -> DataFrame:
     )
     matched = None
 
-    while True:
+    with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
+      while True:
         if edges.count() == 0:
             break
         best = (

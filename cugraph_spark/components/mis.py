@@ -27,7 +27,8 @@ def maximal_independent_set(G: Graph, seed: int = 42) -> DataFrame:
     active = iterloop.materialize(G.vertices_internal.select("vertex"))
     mis = None
 
-    while active.count() > 0:
+    with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
+      while active.count() > 0:
         pri = active.select("vertex", F.xxhash64("vertex", F.lit(seed)).alias("_p"))
         nbr_min = (
             edges.join(pri.select(F.col("vertex").alias(SRC), "_p"), SRC)

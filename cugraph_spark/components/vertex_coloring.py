@@ -39,6 +39,12 @@ from ..structure.symmetrize import add_reverse_edges
 
 def vertex_coloring(G: Graph, seed: int = 42, max_colors: int = 1 << 20) -> DataFrame:
     """Returns (vertex, color) — adjacent vertices get different colors."""
+    # vertex-sized loop state -> small-plan regime for the whole run
+    with iterloop.small_plan(G.edgelist.sparkSession, G.number_of_vertices()):
+        return _vertex_coloring_impl(G, seed, max_colors)
+
+
+def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
     base_edges = G.edgelist.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
     if G.is_directed():
         base_edges = add_reverse_edges(base_edges).distinct()

@@ -52,10 +52,17 @@ def core_number(G: Graph, degree_type: str = "bidirectional") -> DataFrame:
     ).cast("int")
 
     it = 0
-    while True:
+    with iterloop.small_plan(e.sparkSession, G.number_of_vertices()):
+      while True:
         it += 1
         nbr = (
-            e.join(state.select(F.col("vertex").alias(DST), F.col("c").alias("_nc")), DST)
+            e.join(
+                iterloop.hint_state_join(
+                    state.select(F.col("vertex").alias(DST), F.col("c").alias("_nc")),
+                    G.number_of_vertices(),
+                ),
+                DST,
+            )
             .groupBy(F.col(SRC).alias("vertex"))
             .agg(h_expr.alias("_h"))
         )

@@ -63,7 +63,8 @@ def homogeneous_neighbor_sample(
     frontier = seeds
     out = None
 
-    for hop, fanout in enumerate(fanout_vals):
+    with iterloop.small_plan(spark, G.number_of_vertices()):
+      for hop, fanout in enumerate(fanout_vals):
         cand = edges.join(frontier.withColumnRenamed("vertex", SRC), SRC)
         if time_column and seed_times is not None:
             cand = cand.filter(F.col(time_column) < F.col("seed_time"))

@@ -51,7 +51,8 @@ def _walk(
     )
     trace = iterloop.materialize(trace)
 
-    for step in range(1, max_depth + 1):
+    with iterloop.small_plan(spark, len(ids)):
+      for step in range(1, max_depth + 1):
         cand = edges.join(
             walkers.select("walk_id", "start", F.col("cur").alias(SRC), "prev"), SRC
         )

@@ -33,7 +33,8 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
     comp = iterloop.materialize(comp)
     chosen = None
 
-    while True:
+    with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
+      while True:
         e = (
             edges.join(comp.select(F.col("vertex").alias(SRC), F.col("comp").alias("_cs")), SRC)
             .join(comp.select(F.col("vertex").alias(DST), F.col("comp").alias("_cd")), DST)
