@@ -137,7 +137,6 @@ class Graph:
             )
 
         # canonicalize attribute columns (dtype policy: simpleGraph.py:1358-1374)
-        sel = list(input_df.columns)
         df = input_df
         if weight:
             df = df.withColumn(WEIGHT, F.col(weight).cast("double"))
