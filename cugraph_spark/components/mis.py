@@ -27,12 +27,20 @@ def maximal_independent_set(G: Graph, seed: int = 42) -> DataFrame:
     active = iterloop.materialize(G.vertices_internal.select("vertex"))
     mis = None
 
-    with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
+    n_v = G.number_of_vertices()
+    with iterloop.small_plan(edges.sparkSession, n_v):
       while active.count() > 0:
         pri = active.select("vertex", F.xxhash64("vertex", F.lit(seed)).alias("_p"))
         nbr_min = (
-            edges.join(pri.select(F.col("vertex").alias(SRC), "_p"), SRC)
-            .join(active.withColumnRenamed("vertex", DST), DST, "left_semi")
+            edges.join(
+                iterloop.hint_state_join(pri.select(F.col("vertex").alias(SRC), "_p"), n_v),
+                SRC,
+            )
+            .join(
+                iterloop.hint_state_join(active.withColumnRenamed("vertex", DST), n_v),
+                DST,
+                "left_semi",
+            )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.min("_p").alias("_np"))
         )

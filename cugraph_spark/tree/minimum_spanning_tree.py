@@ -33,11 +33,22 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
     comp = iterloop.materialize(comp)
     chosen = None
 
-    with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
+    n_v = G.number_of_vertices()
+    with iterloop.small_plan(edges.sparkSession, n_v):
       while True:
         e = (
-            edges.join(comp.select(F.col("vertex").alias(SRC), F.col("comp").alias("_cs")), SRC)
-            .join(comp.select(F.col("vertex").alias(DST), F.col("comp").alias("_cd")), DST)
+            edges.join(
+                iterloop.hint_state_join(
+                    comp.select(F.col("vertex").alias(SRC), F.col("comp").alias("_cs")), n_v
+                ),
+                SRC,
+            )
+            .join(
+                iterloop.hint_state_join(
+                    comp.select(F.col("vertex").alias(DST), F.col("comp").alias("_cd")), n_v
+                ),
+                DST,
+            )
             .filter(F.col("_cs") != F.col("_cd"))
         )
         pick = (
