@@ -38,7 +38,9 @@ def ecg(
     base = iterloop.materialize(G.edgelist.select(SRC, DST, w.alias("_w")))
 
     votes = base.select(SRC, DST, F.lit(0).alias("_votes"))
-    for i in range(ensemble_size):
+    _small = iterloop.small_plan(G.edgelist.sparkSession, G.number_of_vertices())
+    with _small:
+      for i in range(ensemble_size):
         # jitter: permute effective tie-breaks by hashing vertex ids with
         # the run index (one-level louvain is tie-break sensitive, which
         # is exactly the ensemble diversity ECG exploits)

@@ -39,9 +39,16 @@ def _embedding(G: Graph, dim: int, iters: int, seed: int) -> DataFrame:
         ],
     )
     state = iterloop.materialize(state)
-    for it in range(iters):
+    n_v = G.number_of_vertices()
+    with iterloop.small_plan(edges.sparkSession, n_v):
+      for it in range(iters):
         msgs = (
-            norm.join(state.select(F.col("vertex").alias(SRC), *cols), SRC)
+            norm.join(
+                iterloop.hint_state_join(
+                    state.select(F.col("vertex").alias(SRC), *cols), n_v
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias("vertex"))
             .agg(*[F.sum(F.col(c) * F.col("_c")).alias(c) for c in cols])
         )
