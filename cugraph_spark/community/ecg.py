@@ -38,7 +38,11 @@ def ecg(
     base = iterloop.materialize(G.edgelist.select(SRC, DST, w.alias("_w")))
 
     votes = base.select(SRC, DST, F.lit(0).alias("_votes"))
-    _small = iterloop.small_plan(G.edgelist.sparkSession, G.number_of_vertices())
+    _small = iterloop.small_plan(
+        G.edgelist.sparkSession,
+        G.number_of_vertices(),
+        shuffled_rows=G.number_of_edges(directed_edges=True),
+    )
     with _small:
       for i in range(ensemble_size):
         # jitter: permute effective tie-breaks by hashing vertex ids with

@@ -75,7 +75,11 @@ def leiden(
 
     # vertex/community-sized state throughout -> small-state loop regime
     # (AQE off, few shuffle partitions) for the whole dendrogram walk
-    with iterloop.small_plan(G.edgelist.sparkSession, G.number_of_vertices()):
+    with iterloop.small_plan(
+        G.edgelist.sparkSession,
+        G.number_of_vertices(),
+        shuffled_rows=G.number_of_edges(directed_edges=True),
+    ):
         for level in range(max_level):
             assign, q = _one_level(edges, resolution, min(max_iter, 20), threshold)
             assign = _split_disconnected(edges, assign)  # the Leiden guarantee

@@ -213,7 +213,11 @@ def louvain(
     # coarsened edge list shrinks level over level), so the small-state
     # loop regime (AQE off, few shuffle partitions, broadcast hints)
     # applies to the whole dendrogram walk
-    with iterloop.small_plan(G.edgelist.sparkSession, G.number_of_vertices()):
+    with iterloop.small_plan(
+        G.edgelist.sparkSession,
+        G.number_of_vertices(),
+        shuffled_rows=G.number_of_edges(directed_edges=True),
+    ):
         for level in range(max_level):
             assign, q = _one_level(edges, resolution, max_iter, threshold)
             mapping = iterloop.materialize(

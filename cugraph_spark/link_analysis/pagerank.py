@@ -212,7 +212,12 @@ def _pagerank_impl(
         # partition floor).
         uniform_p = personalization is None
         if uniform_p:
-            if not G.properties.directed:
+            # Symmetrized storage guarantees in-edges wherever there are
+            # out-edges; an undirected graph built with symmetrize=False
+            # does NOT carry that guarantee, so gate on the recorded
+            # symmetrized flag, not on ``directed``, and otherwise run the
+            # one-time O(E) left-anti probe.
+            if getattr(G.properties, "symmetrized", False):
                 all_have_in = True
             else:
                 no_in = verts.join(

@@ -149,7 +149,10 @@ def ivf_topk(
     vectors. Deterministic given the seed (hash-picked init, fixed
     iteration count, id tie-breaks). Approximate: recall < 1 when a true
     neighbor lives in an unprobed list."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("ivf_topk: corpus is empty")
+    dim = len(head[0])
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
 
     # init: the n_lists corpus vectors minimizing xxhash64(id, seed); the
@@ -182,8 +185,15 @@ def ivf_topk(
 
     for _ in range(kmeans_iters):
         assigned = nearest(c)
-        cent = assigned.groupBy("list_id").agg(
-            F.array(*[F.avg(F.col("_cv")[i]) for i in range(dim)]).alias("_ctr")
+        upd = assigned.groupBy("list_id").agg(
+            F.array(*[F.avg(F.col("_cv")[i]) for i in range(dim)]).alias("_new")
+        )
+        # Left-join onto the PREVIOUS centroid table so lists that receive
+        # zero members keep their old centroid instead of vanishing —
+        # dropping them silently shrinks n_lists and raises the effective
+        # probed fraction.
+        cent = cent.join(upd, "list_id", "left").select(
+            "list_id", F.coalesce("_new", "_ctr").alias("_ctr")
         )
         cent = cent.localCheckpoint(eager=True)  # tiny; keeps loop plans O(1)
 

@@ -117,7 +117,11 @@ BROADCAST_STATE_MAX_ROWS = 2_000_000
 
 
 @contextmanager
-def small_plan(spark: SparkSession, n_rows: int | None) -> Iterator[bool]:
+def small_plan(
+    spark: SparkSession,
+    n_rows: int | None,
+    shuffled_rows: int | None = None,
+) -> Iterator[bool]:
     """Disable AQE for the duration of an iteration loop whose join shapes
     are fully known and small.
 
@@ -129,8 +133,23 @@ def small_plan(spark: SparkSession, n_rows: int | None) -> Iterator[bool]:
     12.5s -> 10s, BFS 8.6s -> 4.2s. Above the threshold the loop relies on
     co-partitioned shuffle joins where AQE's runtime coalescing and
     skew-splitting are exactly what we want at 100 TB, so AQE is left on.
+
+    ``shuffled_rows``: upper bound on the rows any single in-loop shuffle
+    can carry, for loops whose aggregations have key spaces LARGER than the
+    vertex state (louvain/leiden's groupBy(dst, community), ktruss support
+    counting are edge-sized). The fixed 8-partition / AQE-off regime is
+    only safe when that bound is small too; otherwise a near-threshold
+    vertex count could push tens of millions of rows through 8 reduce
+    tasks with no AQE coalescing. Defaults to ``n_rows`` (loops whose only
+    shuffles are vertex-sized).
     """
-    if n_rows is not None and n_rows <= BROADCAST_STATE_MAX_ROWS:
+    bound = n_rows if shuffled_rows is None else max(n_rows or 0, shuffled_rows)
+    if (
+        n_rows is not None
+        and n_rows <= BROADCAST_STATE_MAX_ROWS
+        and bound is not None
+        and bound <= BROADCAST_STATE_MAX_ROWS
+    ):
         prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
         spark.conf.set("spark.sql.adaptive.enabled", "false")

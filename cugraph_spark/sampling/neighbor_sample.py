@@ -63,7 +63,19 @@ def homogeneous_neighbor_sample(
     frontier = seeds
     out = None
 
-    with iterloop.small_plan(spark, G.number_of_vertices()):
+    # The loop state scales with n_seeds × cumulative fanout product, not
+    # |V|: a small-vertex graph with many seed batches can carry
+    # far-larger-than-|V| candidate shuffles, so the forced AQE-off /
+    # few-partition regime must be gated on the frontier bound.
+    if isinstance(start_list, list):
+        n_seeds = len(start_list)
+    else:
+        n_seeds = seeds.count()
+    frontier_bound = n_seeds
+    for f_ in fanout_vals:
+        frontier_bound *= max(int(f_), 1)
+    with iterloop.small_plan(spark, min(G.number_of_vertices(), frontier_bound),
+                             shuffled_rows=frontier_bound):
       for hop, fanout in enumerate(fanout_vals):
         cand = edges.join(frontier.withColumnRenamed("vertex", SRC), SRC)
         if time_column and seed_times is not None:

@@ -57,6 +57,11 @@ class Properties:
         self.renumbered = False
         self.store_transposed = False
         self.self_loop: Optional[bool] = None
+        # Whether add_reverse_edges actually ran at build time. Undirected
+        # graphs built with symmetrize=False do NOT get this flag, so
+        # consumers (e.g. pagerank's no-dangling fast path) must gate on it
+        # rather than on ``directed``.
+        self.symmetrized = False
         self.isolated_vertices = None
         self.node_count: Optional[int] = None
         self.edge_count: Optional[int] = None
@@ -153,6 +158,7 @@ class Graph:
 
         if symmetrize:
             edges = add_reverse_edges(edges)
+        self.properties.symmetrized = bool(symmetrize)
 
         # The one build-time shuffle: co-locate edges by src so iterative
         # joins reuse this partitioning and only shuffle vertex state.
@@ -418,6 +424,7 @@ class Graph:
         g._vertices = self._vertices
         g.properties.renumbered = self.properties.renumbered
         g.properties.weighted = self.properties.weighted
+        g.properties.symmetrized = True
         return g
 
     def unpersist(self):

@@ -97,7 +97,7 @@ def negative_sampling_oracle_sql(
     defs = [
         fixture_cte.strip().strip(","),
         f"ns_verts AS MATERIALIZED (SELECT vertex, ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS _i"
-        f" FROM (SELECT DISTINCT src AS vertex FROM {edges_name}))",
+        f" FROM (SELECT src AS vertex FROM {edges_name} UNION SELECT dst FROM {edges_name}))",
         "ns_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM ns_verts)",
         f"ns_ids AS MATERIALIZED (SELECT id FROM generate_series(0, {count - 1}) t(id))",
         *hash_defs,
@@ -186,7 +186,7 @@ def mis_oracle_sql(
     fixpoint is exact."""
     defs = [
         fixture_cte.strip().strip(","),
-        f"mis_act0 AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM {edges_name})",
+        f"mis_act0 AS MATERIALIZED (SELECT src AS vertex FROM {edges_name} UNION SELECT dst FROM {edges_name})",
     ]
     win_selects = []
     for r in range(rounds):
@@ -237,7 +237,7 @@ def vertex_coloring_oracle_sql(
     compaction passes. Extra rounds are no-ops."""
     defs = [
         fixture_cte.strip().strip(","),
-        f"vc_verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM {edges_name})",
+        f"vc_verts AS MATERIALIZED (SELECT src AS vertex FROM {edges_name} UNION SELECT dst FROM {edges_name})",
     ]
     steps, h = xxhash64_steps("vcp", [("vertex", "long"), (str(seed), "int")], seed=42)
     hash_defs, hashed = cte_chain("vc_verts", steps, "vcph_")
@@ -377,7 +377,7 @@ def mst_oracle_sql(
     rounds/iterations are no-ops."""
     defs = [
         edges_cte.strip().strip(","),
-        f"mst_comp0 AS MATERIALIZED (SELECT DISTINCT src AS vertex, src AS comp FROM {edges_name})",
+        f"mst_comp0 AS MATERIALIZED (SELECT vertex, vertex AS comp FROM (SELECT src AS vertex FROM {edges_name} UNION SELECT dst FROM {edges_name}))",
     ]
     new_selects = []
     for r in range(rounds):
