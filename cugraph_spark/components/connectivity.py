@@ -15,10 +15,22 @@ Spark mapping (SURVEY §2.E):
   vertex id in the component — deterministic, unlike the reference's
   arbitrary representative, and SQL-checkable.
 
-- SCC: iterative forward-backward trim (experimental python reference:
-  experimental/components/scc.py) — BFS reachability intersection per
-  pivot on the condensed remainder. Adequate for graphs whose SCC count
-  is modest; documented limitation for adversarial chains.
+- SCC: multi-pivot forward-backward *coloring* (Orzan 2004 / Slota et
+  al. "BFS and Coloring-Based Parallel Algorithms for Strongly
+  Connected Components", IPDPS 2014 — public algorithms), with
+  pointer-doubled propagation. Per outer round: (1) forward coloring
+  cf(v) = max-priority vertex that reaches v — propagated along edges
+  AND via label→label pointer jumps, which squares the radius per pass
+  so the inner loop is O(log longest-path); (2) cut every edge whose
+  endpoints disagree on cf (an SCC never spans cf classes — any v→root
+  path stays inside the class); (3) backward coloring d on the
+  restricted edges; v belongs to its class root's SCC iff d(v) is the
+  root; (4) emit those SCCs (relabelled min-vertex-id for determinism),
+  drop their vertices, and cut edges whose endpoints disagree on d
+  (sound for the same reason). EVERY class root's SCC completes each
+  round — no driver-side per-pivot sequencing — and the d-based edge
+  cut shatters path-shaped condensations so adversarial many-SCC chains
+  finish in a handful of rounds (see tests/test_components.py).
 """
 
 from __future__ import annotations
@@ -90,86 +102,156 @@ def weakly_connected_components(G: Graph) -> DataFrame:
     return out
 
 
-def strongly_connected_components(G: Graph) -> DataFrame:
-    """FW-BW-Trim SCC (SURVEY §2.E, flagged hard). Returns (vertex, labels),
-    label = min vertex id in the SCC.
+# Filled in by strongly_connected_components for test introspection:
+# {"outer_rounds": int, "inner_rounds": int}
+_last_scc_stats: dict = {}
 
-    Strategy: repeat {trim trivial SCCs (in/out-degree 0 within the
-    remainder), pick the min remaining vertex as pivot, label
-    FWD(pivot) ∩ BWD(pivot)}. Each round removes >=1 SCC; fine for graphs
-    with few large SCCs (the common analytic case), documented as slow for
-    long SCC chains.
+
+def _max_coloring(
+    verts: DataFrame, edges: DataFrame, from_col: str, to_col: str,
+    n_hint: int, seed: int,
+) -> tuple[DataFrame, int]:
+    """Fixpoint of c(v) = max over (priority, id) of {c(v)} ∪
+    {c(u) : (u→v) ∈ edges} ∪ {c(c(v).id)} — i.e. the max-priority vertex
+    with a ``from_col``→``to_col`` path to v, computed with pointer
+    doubling so rounds are O(log longest-path), not O(longest-path).
+
+    Priorities are xxhash64(vertex, seed): deterministic, but decoupled
+    from id order so adversarially-ordered inputs can't force the
+    one-class-per-round degeneracy of id-max coloring. Returns
+    ((vertex, cp, cid), rounds)."""
+    c = iterloop.materialize(
+        verts.select(
+            "vertex",
+            F.xxhash64("vertex", F.lit(seed)).alias("cp"),
+            F.col("vertex").alias("cid"),
+        )
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        nbr = (
+            edges.join(
+                iterloop.hint_state_join(
+                    c.select(F.col("vertex").alias(from_col), "cp", "cid"), n_hint
+                ),
+                from_col,
+            )
+            .groupBy(F.col(to_col).alias("vertex"))
+            .agg(F.max(F.struct("cp", "cid")).alias("_nb"))
+        )
+        jump = c.select(
+            F.col("vertex").alias("_jv"), F.struct("cp", "cid").alias("_jc")
+        )
+        own = F.struct("cp", "cid")
+        new = (
+            c.join(nbr, "vertex", "left")
+            .join(
+                iterloop.hint_state_join(jump, n_hint),
+                F.col("cid") == F.col("_jv"),
+                "left",
+            )
+            .select(
+                "vertex",
+                F.greatest(own, F.coalesce("_nb", own), F.coalesce("_jc", own)).alias("_c"),
+                F.col("cid").alias("_old"),
+            )
+            .select(
+                "vertex", F.col("_c.cp").alias("cp"), F.col("_c.cid").alias("cid"), "_old"
+            )
+        )
+        new = iterloop.materialize(new)
+        (changes,) = iterloop.collect_scalars(
+            new, [F.sum((F.col("cid") != F.col("_old")).cast("long"))]
+        )
+        c = new.select("vertex", "cp", "cid")
+        if not changes:
+            return c, rounds
+
+
+def strongly_connected_components(G: Graph) -> DataFrame:
+    """Multi-pivot coloring SCC (SURVEY §2.E). Returns (vertex, labels),
+    label = min vertex id in the SCC — same deterministic labelling the
+    SQL oracle checks, independent of the internal hash priorities.
+
+    Replaces the round-1 per-pivot FW-BW loop (one SCC per driver round,
+    O(#SCCs) rounds on many-SCC digraphs — the reference handles these in
+    cpp/src/components/strongly_connected_components_impl.cuh). Here ALL
+    color-class roots complete per round and the cf/d edge cuts shatter
+    the condensation, so a 1,000-SCC chain finishes in a few rounds; see
+    the module docstring for the scheme and soundness argument.
     """
     if not G.is_directed():
         return weakly_connected_components(G)
 
-    spark = G.edgelist.sparkSession
-    edges = iterloop.materialize(G.edgelist.select(SRC, DST).distinct())
-    remaining = iterloop.materialize(G.vertices_internal.select("vertex"))
-    results = []  # small driver-side list of label DataFrames
-
-    while True:
-        # trim: vertices with no in- or no out-edges in the remainder are
-        # singleton SCCs (iterate to fixpoint)
+    n_v = G.number_of_vertices()
+    n_e = G.number_of_edges(directed_edges=True) or 0
+    edges = iterloop.materialize(
+        G.edgelist.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    )
+    verts = iterloop.materialize(G.vertices_internal.select("vertex"))
+    pieces: list[DataFrame] = []  # one (vertex, labels) piece per outer round
+    outer = 0
+    inner = 0
+    with iterloop.small_plan(edges.sparkSession, n_v, shuffled_rows=max(n_v, n_e)):
         while True:
-            srcs = edges.select(F.col(SRC).alias("vertex")).distinct()
-            dsts = edges.select(F.col(DST).alias("vertex")).distinct()
-            core = srcs.join(dsts, "vertex")  # has both in and out
-            trivial = remaining.join(core, "vertex", "left_anti")
-            trivial = iterloop.materialize(trivial)
-            if trivial.count() == 0:
+            n_rem = verts.count()
+            if n_rem == 0:
                 break
-            results.append(trivial.select("vertex", F.col("vertex").alias("labels")))
-            remaining = iterloop.materialize(remaining.join(core, "vertex"))
-            edges = iterloop.materialize(
-                edges.join(remaining.select(F.col("vertex").alias(SRC)), SRC)
-                .join(remaining.select(F.col("vertex").alias(DST)), DST)
+            outer += 1
+            # (1) forward coloring: cf(v) = max-priority vertex reaching v
+            cf, r1 = _max_coloring(verts, edges, SRC, DST, n_v, seed=42)
+            inner += r1
+            # (2) an SCC never spans cf classes — cut cross-class edges
+            cf_s = cf.select(F.col("vertex").alias(SRC), F.col("cid").alias("_cs"))
+            cf_d = cf.select(F.col("vertex").alias(DST), F.col("cid").alias("_cd"))
+            e_cls = (
+                edges.join(iterloop.hint_state_join(cf_s, n_v), SRC)
+                .join(iterloop.hint_state_join(cf_d, n_v), DST)
+                .filter(F.col("_cs") == F.col("_cd"))
                 .select(SRC, DST)
             )
-        if remaining.count() == 0:
-            break
-        pivot = remaining.agg(F.min("vertex")).collect()[0][0]
-        fwd = _reach(spark, edges, pivot, SRC, DST)
-        bwd = _reach(spark, edges, pivot, DST, SRC)
-        scc = iterloop.materialize(fwd.join(bwd, "vertex"))
-        results.append(scc.select("vertex", F.lit(pivot).cast("long").alias("labels")))
-        remaining = iterloop.materialize(remaining.join(scc, "vertex", "left_anti"))
-        edges = iterloop.materialize(
-            edges.join(scc.select(F.col("vertex").alias(SRC)), SRC, "left_anti")
-            .join(scc.select(F.col("vertex").alias(DST)), DST, "left_anti")
-        )
+            e_cls = iterloop.materialize(e_cls)
+            # (3) backward coloring within classes: d(v) = max-priority
+            # same-class vertex reachable FROM v. The class root is the
+            # max-priority member, so v ∈ SCC(root) iff d(v) == cf(v).
+            d, r2 = _max_coloring(verts, e_cls, DST, SRC, n_v, seed=42)
+            inner += r2
+            state = cf.select("vertex", F.col("cid").alias("_root")).join(
+                d.select("vertex", F.col("cid").alias("_d")), "vertex"
+            )
+            member = state.filter(F.col("_root") == F.col("_d")).select("vertex", "_root")
+            # (4) deterministic labels: min vertex id per found SCC
+            lab = member.groupBy("_root").agg(F.min("vertex").alias("labels"))
+            found = iterloop.materialize(
+                member.join(iterloop.hint_state_join(lab, n_v), "_root")
+                .select("vertex", "labels")
+            )
+            pieces.append(found)
+            # shrink: drop found vertices; keep only edges whose endpoints
+            # agree on d (intra-SCC paths never leave a d class) and
+            # whose endpoints both survive
+            verts = iterloop.materialize(verts.join(found, "vertex", "left_anti"))
+            d_s = d.select(F.col("vertex").alias(SRC), F.col("cid").alias("_ds"))
+            d_d = d.select(F.col("vertex").alias(DST), F.col("cid").alias("_dd"))
+            edges = iterloop.materialize(
+                e_cls.join(iterloop.hint_state_join(d_s, n_v), SRC)
+                .join(iterloop.hint_state_join(d_d, n_v), DST)
+                .filter(F.col("_ds") == F.col("_dd"))
+                .select(SRC, DST)
+                .join(found.select(F.col("vertex").alias(SRC)), SRC, "left_anti")
+                .join(found.select(F.col("vertex").alias(DST)), DST, "left_anti")
+            )
 
-    out = results[0]
-    for r in results[1:]:
+    global _last_scc_stats
+    _last_scc_stats = {"outer_rounds": outer, "inner_rounds": inner}
+    out = pieces[0]
+    for r in pieces[1:]:
         out = out.unionByName(r)
-    # the pivot is the min vertex of its remainder, and trim emits
-    # singletons labeled by themselves — labels are already the min vertex
-    # id of each SCC, deterministic
     out = G.unrenumber(out, "vertex")
     if G.is_renumbered():
         out = G.unrenumber(out, "labels")
     return out
-
-
-def _reach(spark, edges: DataFrame, start: int, from_col: str, to_col: str) -> DataFrame:
-    """Vertices reachable from ``start`` following from_col->to_col."""
-    visited = spark.createDataFrame([(start,)], "vertex long")
-    frontier = visited
-    it = 0
-    while True:
-        nxt = (
-            edges.join(frontier.withColumnRenamed("vertex", from_col), from_col)
-            .select(F.col(to_col).alias("vertex"))
-            .distinct()
-            .join(visited, "vertex", "left_anti")
-        )
-        nxt = iterloop.materialize(nxt)
-        if nxt.count() == 0:
-            return visited
-        visited = visited.unionByName(nxt)
-        it += 1
-        visited = iterloop.truncate_lineage(visited, it, 4)
-        frontier = nxt
 
 
 def connected_components(G: Graph, connection: str = "weak") -> DataFrame:

@@ -55,6 +55,53 @@ def test_scc(spark):
     assert len({got[0], got[3], got[4]}) == 3
 
 
+def test_scc_many_scc_chain_logarithmic_rounds(spark):
+    # Adversarial case for per-pivot FW-BW: a chain of 200 2-cycles (200
+    # nontrivial SCCs, path-shaped condensation). The multi-pivot coloring
+    # must complete ALL of them in a handful of outer rounds, not O(#SCCs).
+    from cugraph_spark.components import connectivity as conn
+
+    n_scc = 200
+    edges = []
+    for i in range(n_scc):
+        a, b = 2 * i, 2 * i + 1
+        edges += [(a, b), (b, a)]
+        if i < n_scc - 1:
+            edges.append((b, 2 * i + 2))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph(directed=True)
+    g.from_edgelist(df, "src", "dst")
+    got = {r["vertex"]: r["labels"] for r in strongly_connected_components(g).collect()}
+    assert len(got) == 2 * n_scc
+    for i in range(n_scc):
+        assert got[2 * i] == got[2 * i + 1] == 2 * i
+    assert conn._last_scc_stats["outer_rounds"] <= 10  # O(log), not O(#SCCs)
+
+
+def test_scc_descending_id_chain(spark):
+    # same chain with ids reversed: guards against id-order-dependent
+    # degeneracy (priorities are hashed, labels stay min-id)
+    from cugraph_spark.components import connectivity as conn
+
+    n_scc = 50
+    base = []
+    for i in range(n_scc):
+        a, b = 2 * i, 2 * i + 1
+        base += [(a, b), (b, a)]
+        if i < n_scc - 1:
+            base.append((b, 2 * i + 2))
+    hi = 2 * n_scc - 1
+    edges = [(hi - s, hi - d) for s, d in base]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph(directed=True)
+    g.from_edgelist(df, "src", "dst")
+    got = {r["vertex"]: r["labels"] for r in strongly_connected_components(g).collect()}
+    for i in range(n_scc):
+        lo = hi - (2 * i + 1)
+        assert got[lo] == got[lo + 1] == lo
+    assert conn._last_scc_stats["outer_rounds"] <= 10
+
+
 def test_connected_components_dispatch(karate):
     df = connected_components(karate, connection="weak")
     assert df.count() == 34
