@@ -40,10 +40,11 @@ def hits(
         state = verts.select("vertex", F.lit(1.0 / n).alias("_h"))
     state = iterloop.materialize(state)
 
-    auth = None
+    combined = None
+    hmax = amax = 1.0
     with iterloop.small_plan(e.sparkSession, n):
         for _ in range(max_iter):
-            auth = (
+            auth_raw = (
                 e.join(
                     iterloop.hint_state_join(
                         state.select(F.col("vertex").alias(SRC), "_h"), n
@@ -51,53 +52,60 @@ def hits(
                     SRC,
                 )
                 .groupBy(F.col(DST).alias("vertex"))
-                .agg(F.sum("_h").alias("_a"))
+                .agg(F.sum("_h").alias("_ar"))
             )
-            auth = verts.join(auth, "vertex", "left").select(
-                "vertex", F.coalesce("_a", F.lit(0.0)).alias("_a")
+            auth_full = verts.join(auth_raw, "vertex", "left").select(
+                "vertex", F.coalesce("_ar", F.lit(0.0)).alias("_ar")
             )
-            auth = iterloop.materialize(auth)
-            hub = (
+            hub_raw = (
                 e.join(
                     iterloop.hint_state_join(
-                        auth.select(F.col("vertex").alias(DST), "_a"), n
+                        auth_full.select(F.col("vertex").alias(DST), "_ar"), n
                     ),
                     DST,
                 )
                 .groupBy(F.col(SRC).alias("vertex"))
-                .agg(F.sum("_a").alias("_hraw"))
+                .agg(F.sum("_ar").alias("_hraw"))
             )
-            new_state = (
-                state.join(hub, "vertex", "left")
+            # One vertex-keyed frame carries prev hub, raw hub and raw auth,
+            # so a single agg yields both normalizers (the auth_full subtree
+            # appears twice but its shuffle is deduped by exchange reuse).
+            combined = iterloop.materialize(
+                state.join(hub_raw, "vertex", "left")
+                .join(auth_full, "vertex")
                 .select(
                     "vertex",
                     F.col("_h").alias("_old"),
                     F.coalesce("_hraw", F.lit(0.0)).alias("_hraw"),
+                    "_ar",
                 )
             )
-            new_state = iterloop.materialize(new_state)
-            hmax, amax = (
-                new_state.agg(F.max("_hraw")).collect()[0][0],
-                auth.agg(F.max("_a")).collect()[0][0],
+            hmax, amax = iterloop.collect_scalars(
+                combined, [F.max("_hraw"), F.max("_ar")]
             )
             hmax = hmax or 1.0
             amax = amax or 1.0
-            new_state = iterloop.materialize(
-                new_state.select(
-                    "vertex", "_old", (F.col("_hraw") / F.lit(hmax)).alias("_h")
+            state = combined.select(
+                "vertex", (F.col("_hraw") / F.lit(hmax)).alias("_h")
+            )
+            if tol > 0.0:
+                (delta,) = iterloop.collect_scalars(
+                    combined,
+                    [F.sum(F.abs(F.col("_hraw") / F.lit(hmax) - F.col("_old")))],
                 )
-            )
-            auth = auth.select("vertex", (F.col("_a") / F.lit(amax)).alias("_a"))
-            (delta,) = iterloop.collect_scalars(
-                new_state, [F.sum(F.abs(F.col("_h") - F.col("_old")))]
-            )
-            state = new_state.select("vertex", "_h")
-            if delta < n * tol:
-                break
+                if delta < n * tol:
+                    break
 
-    out = state.join(iterloop.materialize(auth), "vertex").select(
-        "vertex", F.col("_h").alias("hubs"), F.col("_a").alias("authorities")
-    )
+    if combined is None:  # max_iter == 0: hubs = init, authorities = 0
+        out = state.select(
+            "vertex", F.col("_h").alias("hubs"), F.lit(0.0).alias("authorities")
+        )
+    else:
+        out = combined.select(
+            "vertex",
+            (F.col("_hraw") / F.lit(hmax)).alias("hubs"),
+            (F.col("_ar") / F.lit(amax)).alias("authorities"),
+        )
     if normalized:
         hsum, asum = iterloop.collect_scalars(out, [F.sum("hubs"), F.sum("authorities")])
         out = out.select(
