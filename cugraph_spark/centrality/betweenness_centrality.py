@@ -17,6 +17,7 @@ undirected, x0.5 for undirected unnormalized).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -24,6 +25,10 @@ from pyspark.sql import DataFrame, functions as F
 from ..constants import SRC, DST
 from ..plans import iterloop
 from ..structure.graph import Graph
+
+#: Exact Brandes materializes O(|sources| x |V|) state; above this vertex
+#: count a k=None call is warned about (use k-sampling at scale).
+EXACT_BC_WARN_VERTICES = 50_000
 
 
 def _forward(edges, seeds_df):
@@ -55,12 +60,19 @@ def _forward(edges, seeds_df):
         frontier = nxt
 
 
-def _brandes(G: Graph, k, seed, want_edges: bool):
+def _brandes(G: Graph, k, seed, want_edges: bool, endpoints: bool = False):
     edges = iterloop.persist(G.edgelist.select(SRC, DST).distinct())
     verts = G.vertices_internal
     n = G.number_of_vertices()
 
     if k is None:
+        if n > EXACT_BC_WARN_VERTICES:
+            warnings.warn(
+                f"exact betweenness materializes |V|^2 = {n}^2 (source, vertex) "
+                f"state; pass k= to sample sources at this scale",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         seeds = verts.select(F.col("vertex").alias("source"))
         n_sources = n
     else:
@@ -75,10 +87,11 @@ def _brandes(G: Graph, k, seed, want_edges: bool):
     # per-iteration state is (source, vertex) pairs — small-plan while
     # n_sources * |V| stays in the broadcast regime
     with iterloop.small_plan(edges.sparkSession, n * n_sources):
-        return _brandes_run(G, edges, seeds, n, n_sources, want_edges)
+        return _brandes_run(G, edges, seeds, n, n_sources, want_edges, endpoints)
 
 
-def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool):
+def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
+                 endpoints: bool = False):
     visited, dmax = _forward(edges, seeds)
     visited = iterloop.persist(visited)
 
@@ -120,20 +133,30 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool):
         )
         # vertices at level d-1 are finalized after this step; accumulate at end
     # bc(v) = sum over sources of delta(v), excluding v == source
-    bc = (
-        delta.filter(F.col("vertex") != F.col("source"))
-        .groupBy("vertex")
-        .agg(F.sum("delta").alias("_bc"))
-    )
+    reached = delta.filter(F.col("vertex") != F.col("source"))
+    if endpoints:
+        # reference betweenness_centrality_impl.cuh:1226-1288: each reached
+        # (s, t) pair adds 1 to bc(t) (dest endpoint) and 1 to bc(s)
+        # (source endpoint: #reachable-from-s excluding s itself)
+        dest = reached.groupBy("vertex").agg(
+            (F.sum("delta") + F.count(F.lit(1))).alias("_bc")
+        )
+        srcc = reached.groupBy(F.col("source").alias("vertex")).agg(
+            F.count(F.lit(1)).cast("double").alias("_bc")
+        )
+        bc = dest.unionByName(srcc).groupBy("vertex").agg(F.sum("_bc").alias("_bc"))
+    else:
+        bc = reached.groupBy("vertex").agg(F.sum("delta").alias("_bc"))
     edges.unpersist()
     visited.unpersist()
     return bc, edge_acc, n, n_sources
 
 
-def _rescale(n: int, n_sources: int, normalized: bool, directed: bool, for_edges: bool):
+def _rescale(n: int, n_sources: int, normalized: bool, directed: bool, for_edges: bool,
+             endpoints: bool = False):
     scale = n / n_sources if n_sources else 1.0
     if normalized:
-        if for_edges:
+        if for_edges or endpoints:
             denom = n * (n - 1)
         else:
             denom = (n - 1) * (n - 2)
@@ -156,11 +179,21 @@ def betweenness_centrality(
     random_state: Optional[int] = None,
 ) -> DataFrame:
     """Returns (vertex, betweenness_centrality). Unweighted-BFS Brandes,
-    exact (k=None) or k-sampled sources."""
+    exact (k=None) or k-sampled sources.
+
+    ``endpoints=True`` adds each reached (s, t) pair to both endpoints'
+    counts (reference betweenness_centrality.py:72 ``include_endpoints``)
+    and normalizes by n(n-1) instead of (n-1)(n-2).
+
+    Exact mode (k=None) materializes O(|V|^2) (source, vertex) state; a
+    RuntimeWarning fires above ``EXACT_BC_WARN_VERTICES`` — pass ``k`` to
+    sample sources at scale (estimate quality grows with k)."""
     if weight is not None:
         raise NotImplementedError("weighted betweenness is not supported (reference parity)")
-    bc, _, n, n_sources = _brandes(G, k, seed if seed is not None else random_state, False)
-    scale = _rescale(n, n_sources, normalized, G.is_directed(), False)
+    bc, _, n, n_sources = _brandes(
+        G, k, seed if seed is not None else random_state, False, endpoints
+    )
+    scale = _rescale(n, n_sources, normalized, G.is_directed(), False, endpoints)
     out = (
         G.vertices_internal.join(bc, "vertex", "left")
         .select(
@@ -168,9 +201,6 @@ def betweenness_centrality(
             (F.coalesce("_bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness_centrality"),
         )
     )
-    if endpoints:
-        # each (s, t) pair adds 1 to both endpoints per reached target
-        raise NotImplementedError("endpoints=True deferred (reference default False)")
     return G.unrenumber(out, "vertex")
 
 

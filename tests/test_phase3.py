@@ -33,7 +33,7 @@ from cugraph_spark.structure.utils_ops import (
 from tests.conftest import karate_adj
 
 
-def py_brandes(adj, normalized=True):
+def py_brandes(adj, normalized=True, endpoints=False):
     # Brandes 2001, unweighted
     import collections
 
@@ -55,15 +55,20 @@ def py_brandes(adj, normalized=True):
                 if dist[w] == dist[v] + 1:
                     sigma[w] += sigma[v]
                     P[w].append(v)
+        if endpoints:
+            bc[s] += len(S) - 1
         delta = dict.fromkeys(nodes, 0.0)
         while S:
             w = S.pop()
             for v in P[w]:
                 delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
             if w != s:
-                bc[w] += delta[w]
+                bc[w] += delta[w] + (1.0 if endpoints else 0.0)
     n = len(nodes)
-    scale = 2.0 / ((n - 1) * (n - 2)) if normalized else 0.5
+    if normalized:
+        scale = 2.0 / (n * (n - 1)) if endpoints else 2.0 / ((n - 1) * (n - 2))
+    else:
+        scale = 0.5
     return {v: b * scale for v, b in bc.items()}
 
 
@@ -75,6 +80,42 @@ def test_betweenness_karate(karate):
     want = py_brandes(karate_adj())
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_betweenness_endpoints_karate(karate):
+    got = {
+        r["vertex"]: r["betweenness_centrality"]
+        for r in betweenness_centrality(karate, endpoints=True).collect()
+    }
+    want = py_brandes(karate_adj(), endpoints=True)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_betweenness_endpoints_unnormalized(spark):
+    # path 0-1-2: endpoints add (reached pairs x2) to raw counts
+    g = Graph(directed=False)
+    g.from_edgelist(spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"]), "src", "dst")
+    got = {r["vertex"]: r["betweenness_centrality"]
+           for r in betweenness_centrality(g, normalized=False, endpoints=True).collect()}
+    adj = {0: [1], 1: [0, 2], 2: [1]}
+    want = py_brandes(adj, normalized=False, endpoints=True)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_exact_betweenness_scale_warning(karate, monkeypatch):
+    import cugraph_spark.centrality.betweenness_centrality as bcmod
+
+    monkeypatch.setattr(bcmod, "EXACT_BC_WARN_VERTICES", 10)
+    with pytest.warns(RuntimeWarning, match="source, vertex"):
+        betweenness_centrality(karate, k=None).collect()
+    # sampled path must stay silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        betweenness_centrality(karate, k=5, seed=1).collect()
 
 
 def test_betweenness_sampled(karate):
