@@ -66,6 +66,90 @@ SELECT query_id, vec_id, ROUND(cos, 5) AS cosine FROM lsh_ranked WHERE rn <= {k}
 """
 
 
+def ivf_topk_oracle_sql(
+    dim: int,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    kmeans_iters: int = 3,
+    n_queries: int = 10,
+    seed: int = 42,
+) -> str:
+    """Exact oracle for ``ivf_topk(emb, q, k, n_lists, n_probe,
+    kmeans_iters)`` over the ``embeddings`` view (queries = vec_id <
+    n_queries).
+
+    Every stochastic choice in ivf_topk is xxhash64-derived (centroid
+    init picks the ``n_lists`` vectors minimizing (xxhash64(vec_id,
+    seed), vec_id)) and the Lloyd iteration count is fixed, so the whole
+    pipeline is a pure function of the corpus: unroll the iterations as
+    CTEs. Assignment = per-vector argmax cosine over the centroid table
+    (list_id tie-break); update = per-dimension AVG carrying forward
+    centroids of empty lists; probe = top ``n_probe`` lists per query;
+    final = (cos desc, vec_id) top-k, mirroring
+    pipelines/similarity_search.py:ivf_topk. Centroid means are summed
+    in engine-specific order — 5-dp rounding absorbs the ~1e-14 drift
+    (an assignment flip would need two centroids cosine-equidistant to
+    ~1e-13; measure-zero on real embeddings)."""
+    steps, h = xxhash64_steps(
+        "ivf", [("vec_id", "long"), (str(seed), "int")], seed=42
+    )
+    hash_defs, hashed = cte_chain("ivf_corpus", steps, "ivfh_")
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    avg_arr = "[" + ", ".join(f"AVG(v[{j}])" for j in range(1, dim + 1)) + "]"
+    defs = [
+        "ivf_corpus AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        *hash_defs,
+        f"ivf_cent0 AS MATERIALIZED (SELECT list_id, ctr FROM ("
+        f"  SELECT ROW_NUMBER() OVER (ORDER BY {to_i64(h)}, vec_id) - 1 AS list_id, v AS ctr"
+        f"  FROM {hashed}) WHERE list_id < {n_lists})",
+    ]
+    for i in range(1, kmeans_iters + 1):
+        defs.append(
+            f"ivf_asg{i} AS MATERIALIZED (SELECT vec_id, v, list_id FROM ("
+            f"  SELECT c.vec_id, c.v, t.list_id,"
+            f"    ROW_NUMBER() OVER (PARTITION BY c.vec_id"
+            f"      ORDER BY {cos('c.v', 't.ctr')} DESC, t.list_id) AS rn"
+            f"  FROM ivf_corpus c CROSS JOIN ivf_cent{i - 1} t) WHERE rn = 1)"
+        )
+        defs.append(
+            f"ivf_cent{i} AS MATERIALIZED (SELECT p.list_id, COALESCE(u.newc, p.ctr) AS ctr"
+            f"  FROM ivf_cent{i - 1} p LEFT JOIN ("
+            f"    SELECT list_id, {avg_arr} AS newc FROM ivf_asg{i} GROUP BY list_id) u"
+            f"  ON u.list_id = p.list_id)"
+        )
+    last = f"ivf_cent{kmeans_iters}"
+    defs += [
+        f"ivf_final AS MATERIALIZED (SELECT vec_id, v, list_id FROM ("
+        f"  SELECT c.vec_id, c.v, t.list_id,"
+        f"    ROW_NUMBER() OVER (PARTITION BY c.vec_id"
+        f"      ORDER BY {cos('c.v', 't.ctr')} DESC, t.list_id) AS rn"
+        f"  FROM ivf_corpus c CROSS JOIN {last} t) WHERE rn = 1)",
+        f"ivf_probe AS MATERIALIZED (SELECT query_id, q, list_id FROM ("
+        f"  SELECT c.vec_id AS query_id, c.v AS q, t.list_id,"
+        f"    ROW_NUMBER() OVER (PARTITION BY c.vec_id"
+        f"      ORDER BY {cos('c.v', 't.ctr')} DESC, t.list_id) AS rn"
+        f"  FROM ivf_corpus c CROSS JOIN {last} t WHERE c.vec_id < {n_queries})"
+        f"  WHERE rn <= {n_probe})",
+        f"ivf_scored AS MATERIALIZED (SELECT p.query_id, a.vec_id,"
+        f"  {cos('p.q', 'a.v')} AS cos"
+        f"  FROM ivf_probe p JOIN ivf_final a ON a.list_id = p.list_id)",
+        "ivf_ranked AS MATERIALIZED (SELECT query_id, vec_id, cos,"
+        "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn"
+        "  FROM ivf_scored)",
+    ]
+    return (
+        f"WITH {', '.join(defs)} SELECT query_id, vec_id, ROUND(cos, 5) AS cosine"
+        f" FROM ivf_ranked WHERE rn <= {k}"
+    )
+
+
 def negative_sampling_oracle_sql(
     fixture_cte: str,
     edges_name: str,

@@ -1270,11 +1270,12 @@ def _lsh_oracle() -> str:
 ORACLES["embed_topk_lsh"] = _lsh_oracle()
 
 
-@register("embed_topk_ivf")  # kmeans centroid means are float-order
-# sensitive across engines -> rows-only check; recall vs brute force is
-# pytest-asserted (tests/test_pipelines.py::test_ivf_topk)
+@register("embed_topk_ivf")
 def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-clustered ANN (the n_probe/n_lists-fraction scan scale path)."""
+    """IVF-clustered ANN (the n_probe/n_lists-fraction scan scale path).
+    Fully deterministic (xxhash64 init, fixed Lloyd count) -> exact
+    unrolled-iteration DuckDB oracle; 5-dp rounding absorbs cross-engine
+    centroid-mean summation order."""
     from cugraph_spark.pipelines.similarity_search import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings").select(
@@ -1283,6 +1284,15 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     out = ivf_topk(emb, q, k=5, n_lists=8, n_probe=3, kmeans_iters=3)
     return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def _ivf_oracle() -> str:
+    from cugraph_spark.testing.oracles import ivf_topk_oracle_sql
+
+    return ivf_topk_oracle_sql(dim=64, k=5, n_lists=8, n_probe=3, kmeans_iters=3, n_queries=10)
+
+
+ORACLES["embed_topk_ivf"] = _ivf_oracle()
 
 
 # ---------------------------------------------------------------------------
