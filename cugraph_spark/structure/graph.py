@@ -28,7 +28,15 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..constants import SRC, DST, WEIGHT, EDGE_ID, EDGE_TYPE
+from ..constants import (
+    SRC,
+    DST,
+    WEIGHT,
+    EDGE_ID,
+    EDGE_TYPE,
+    EDGE_START_TIME,
+    EDGE_END_TIME,
+)
 from .number_map import NumberMap
 from .symmetrize import add_reverse_edges, symmetrize_df
 
@@ -94,6 +102,8 @@ class Graph:
         weight: Optional[str] = None,
         edge_id: Optional[str] = None,
         edge_type: Optional[str] = None,
+        edge_start_time: Optional[str] = None,
+        edge_end_time: Optional[str] = None,
         renumber: bool = True,
         store_transposed: bool = False,
         symmetrize: Optional[bool] = None,
@@ -107,6 +117,13 @@ class Graph:
           (weight, edge_id, edge_type);
         - symmetrize defaults to ``not directed``;
         - symmetrization with edge ids/types is rejected.
+
+        ``edge_start_time``/``edge_end_time`` name long-castable columns
+        carried as canonical temporal edge attributes (the temporal graph
+        of cugraph_c/graph.h:102-138 ``cugraph_graph_create_with_times_sg``);
+        see :meth:`temporal_view` for the time-mask view and pass
+        ``time_column=EDGE_START_TIME`` to ``neighbor_sample`` for
+        temporal sampling. Parallel edges collapse to min(start)/max(end).
         """
         if self._edges is not None:
             raise RuntimeError("graph already has an edgelist")
@@ -149,7 +166,15 @@ class Graph:
             df = df.withColumn(EDGE_ID, F.col(edge_id).cast("long"))
         if edge_type:
             df = df.withColumn(EDGE_TYPE, F.col(edge_type).cast("int"))
-        keep_attrs = [c for c in (WEIGHT, EDGE_ID, EDGE_TYPE) if c in df.columns]
+        if edge_start_time:
+            df = df.withColumn(EDGE_START_TIME, F.col(edge_start_time).cast("long"))
+        if edge_end_time:
+            df = df.withColumn(EDGE_END_TIME, F.col(edge_end_time).cast("long"))
+        keep_attrs = [
+            c
+            for c in (WEIGHT, EDGE_ID, EDGE_TYPE, EDGE_START_TIME, EDGE_END_TIME)
+            if c in df.columns
+        ]
         df = df.select(*src_cols, *dst_cols, *keep_attrs)
 
         edges, nm = NumberMap.renumber_edgelist(
@@ -169,10 +194,16 @@ class Graph:
         shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         edges = edges.repartition(shuffle_parts, SRC)
         if not self.properties.multi_edge and not (edge_id or edge_type):
-            # collapse parallel edges keeping MIN weight (symmetrize.py:68-75)
-            if WEIGHT in edges.columns:
-                others = [c for c in edges.columns if c not in (SRC, DST)]
-                edges = edges.groupBy(SRC, DST).agg(*[F.min(c).alias(c) for c in others])
+            # collapse parallel edges keeping MIN weight (symmetrize.py:68-75);
+            # temporal attrs collapse to the widest validity window
+            others = [c for c in edges.columns if c not in (SRC, DST)]
+            if others:
+                edges = edges.groupBy(SRC, DST).agg(
+                    *[
+                        (F.max(c) if c == EDGE_END_TIME else F.min(c)).alias(c)
+                        for c in others
+                    ]
+                )
             else:
                 edges = edges.dropDuplicates([SRC, DST])
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -256,6 +287,52 @@ class Graph:
     @property
     def vertices_internal(self) -> DataFrame:
         return self._vertices
+
+    def temporal_view(self, start_time=None, end_time=None) -> "Graph":
+        """Edge-mask view keeping edges whose validity window intersects
+        [start_time, end_time] (either bound may be None for half-open).
+
+        Mirrors the temporal graph of cugraph_c/graph.h:102-138: an edge
+        is active in the window when ``edge_start_time <= end_time`` and
+        (``edge_end_time`` is absent/null or ``edge_end_time >=
+        start_time``). Lightweight: the returned Graph shares this
+        graph's cached edge table and NumberMap — the mask is a plain
+        predicate Catalyst evaluates on top of the cache (and pushes to
+        the scan when the edgelist is re-read), so no copy and no extra
+        shuffle. The vertex set is unchanged (mask semantics: isolated
+        vertices remain)."""
+        if self._edges is None:
+            raise RuntimeError("graph has no edgelist")
+        if EDGE_START_TIME not in self._edges.columns:
+            raise ValueError(
+                "graph has no temporal columns; build with "
+                "from_edgelist(..., edge_start_time=...)"
+            )
+        cond = F.lit(True)
+        if end_time is not None:
+            cond = cond & (F.col(EDGE_START_TIME) <= F.lit(end_time))
+        if start_time is not None:
+            if EDGE_END_TIME in self._edges.columns:
+                cond = cond & (
+                    F.col(EDGE_END_TIME).isNull()
+                    | (F.col(EDGE_END_TIME) >= F.lit(start_time))
+                )
+            else:
+                # point-in-time edges: active from start_time onward only
+                cond = cond & (F.col(EDGE_START_TIME) >= F.lit(start_time))
+        view = Graph(directed=self.properties.directed)
+        view.properties = Properties(
+            directed=self.properties.directed, multi_edge=self.properties.multi_edge
+        )
+        view.properties.renumbered = self.properties.renumbered
+        view.properties.symmetrized = self.properties.symmetrized
+        view.properties.weighted = self.properties.weighted
+        view.properties.store_transposed = self.properties.store_transposed
+        view._edges = self._edges.filter(cond)
+        view._nm = self._nm
+        view._vertices = self._vertices
+        view._spark = self._spark
+        return view
 
     def view_adj_list(self) -> DataFrame:
         """CSR-equivalent adjacency view: (src, sorted array of neighbors)

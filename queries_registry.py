@@ -1295,6 +1295,46 @@ def _ivf_oracle() -> str:
 ORACLES["embed_topk_ivf"] = _ivf_oracle()
 
 
+@register(
+    "temporal_degree_cust_supp",
+    oracle=f"""
+WITH t_edges AS MATERIALIZED (
+    SELECT o.o_custkey AS src, l.l_suppkey + {SUPP_OFFSET} AS dst,
+           MIN(datediff('day', DATE '1992-01-01', o.o_orderdate)) AS t
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+t_verts AS MATERIALIZED (
+    SELECT src AS vertex FROM t_edges UNION SELECT dst FROM t_edges
+),
+t_active AS MATERIALIZED (
+    SELECT src, COUNT(*) AS d FROM t_edges WHERE t <= 1200 GROUP BY src
+)
+SELECT v.vertex, COALESCE(a.d, 0) AS degree
+FROM t_verts v LEFT JOIN t_active a ON a.src = v.vertex
+""",
+)
+def q_temporal_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph sugar (cugraph_c/graph.h:102-138): build the
+    customer->supplier graph with edge_start_time = order day, mask to
+    the first 1200 days via temporal_view, and report out-degree over the
+    FULL vertex universe (mask keeps isolated vertices). Parallel edges
+    collapse to the earliest start at build."""
+    from cugraph_spark import Graph
+
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    edges = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("t"),
+    )
+    g = Graph(directed=True)
+    g.from_edgelist(edges, "src", "dst", edge_start_time="t")
+    view = g.temporal_view(end_time=1200)
+    return view.out_degree()
+
+
 # ---------------------------------------------------------------------------
 # Betweenness centrality — exact unrolled-Brandes SQL oracle (forward
 # sigma-BFS + backward dependency accumulation, all sources at once).

@@ -119,3 +119,58 @@ def test_view_adj_list(spark):
     g.from_edgelist(df, "src", "dst")
     adj = {r["src"]: r["indices"] for r in g.view_adj_list().collect()}
     assert adj == {0: [1, 2], 1: [2]}
+
+
+def test_temporal_graph_construction_and_view(spark):
+    # (src, dst, start, end); parallel edge (0,1) collapses to
+    # min(start)=5 / max(end)=20
+    df = spark.createDataFrame(
+        [
+            (0, 1, 5, 10),
+            (0, 1, 8, 20),
+            (1, 2, 15, 30),
+            (2, 3, 40, 50),
+        ],
+        ["src", "dst", "t0", "t1"],
+    )
+    g = Graph(directed=True)
+    g.from_edgelist(df, "src", "dst", edge_start_time="t0", edge_end_time="t1")
+    rows = {
+        (r["src"], r["dst"]): (r["edge_start_time"], r["edge_end_time"])
+        for r in g.edgelist.collect()
+    }
+    assert rows == {(0, 1): (5, 20), (1, 2): (15, 30), (2, 3): (40, 50)}
+
+    # window [12, 35]: (0,1) active (end 20 >= 12), (1,2) active,
+    # (2,3) not yet started (40 > 35)
+    v = g.temporal_view(start_time=12, end_time=35)
+    active = {(r["src"], r["dst"]) for r in v.edgelist.collect()}
+    assert active == {(0, 1), (1, 2)}
+    # mask semantics: vertex universe unchanged
+    assert v.number_of_vertices() == g.number_of_vertices() == 4
+
+    # half-open: everything started by 100
+    assert g.temporal_view(end_time=100).edgelist.count() == 3
+
+    with pytest.raises(ValueError, match="temporal"):
+        g2 = Graph(directed=True)
+        g2.from_edgelist(spark.createDataFrame([(0, 1)], ["src", "dst"]), "src", "dst")
+        g2.temporal_view(end_time=1)
+
+
+def test_temporal_neighbor_sample_canonical_column(spark):
+    from cugraph_spark.constants import EDGE_START_TIME
+    from cugraph_spark.sampling.neighbor_sample import homogeneous_neighbor_sample
+
+    # star from 0; only edges with start < seed_time are followable
+    df = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 20), (0, 3, 30)], ["src", "dst", "t0"]
+    )
+    g = Graph(directed=True)
+    g.from_edgelist(df, "src", "dst", edge_start_time="t0")
+    seed_times = spark.createDataFrame([(0, 25)], ["vertex", "seed_time"])
+    out = homogeneous_neighbor_sample(
+        g, [0], [3], time_column=EDGE_START_TIME, seed_times=seed_times
+    ).collect()
+    minors = {r["minors"] for r in out}
+    assert minors == {1, 2}  # 3 starts at t=30 >= 25 and is excluded
