@@ -239,9 +239,15 @@ class Graph:
         self.properties.store_transposed = store_transposed
         self._spark = input_df.sparkSession
 
-        vset = edges.select(F.col(SRC).alias("vertex")).union(
-            edges.select(F.col(DST).alias("vertex"))
-        )
+        if symmetrize:
+            # every vertex of a symmetrized graph appears as src, and the
+            # cached edge table is hash-partitioned on src: the distinct
+            # below stays partition-local — no E-row shuffle
+            vset = edges.select(F.col(SRC).alias("vertex"))
+        else:
+            vset = edges.select(F.col(SRC).alias("vertex")).union(
+                edges.select(F.col(DST).alias("vertex"))
+            )
         if nm.identity and vertices is not None:
             extra = vertices.select(F.col(vertices.columns[0]).cast("long").alias("vertex"))
             vset = vset.union(extra)

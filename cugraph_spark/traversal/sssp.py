@@ -21,6 +21,13 @@ from ..constants import SRC, DST, WEIGHT
 from ..plans import iterloop
 from ..structure.graph import Graph
 
+#: Bellman-Ford relaxations fused into each materialize+convergence cycle.
+#: Measured at sf0.1 (160k-edge part-supp graph): 1 beats 2 and 3 (the
+#: fused frontier feeds two consumers in the next pass, and the repeated
+#: subtree's shuffle work outweighs the saved per-round fixed cost), so
+#: the sync-every-pass regime stays the default.
+RELAX_PASSES_PER_SYNC = 1
+
 
 def sssp(
     G: Graph,
@@ -41,46 +48,56 @@ def sssp(
         [(sid, 0.0, -1, True)],
         "vertex long, distance double, predecessor long, _impr boolean",
     )
+    def relax(state: DataFrame) -> DataFrame:
+        # relax edges out of the state's improved vertices (the frontier)
+        cand = (
+            edges.join(
+                iterloop.hint_state_join(
+                    state.filter(F.col("_impr")).select(
+                        F.col("vertex").alias(SRC), F.col("distance").alias("_d")
+                    ),
+                    G.number_of_vertices(),
+                ),
+                SRC,
+            )
+            .select(
+                F.col(DST).alias("vertex"),
+                (F.col("_d") + F.col("_w")).alias("_nd"),
+                F.col(SRC).alias("_np"),
+            )
+        )
+        if cutoff is not None:
+            cand = cand.filter(F.col("_nd") <= cutoff)
+        cand = (
+            cand.groupBy("vertex")
+            .agg(F.min(F.struct(F.col("_nd"), F.col("_np"))).alias("_best"))
+            .select("vertex", F.col("_best._nd").alias("_nd"), F.col("_best._np").alias("_np"))
+        )
+        # fused update+improved-flag pass: state comes back from the
+        # checkpoint hash-partitioned on vertex and cand leaves its groupBy
+        # likewise, so this full-outer join adds no exchange
+        better = F.col("_nd").isNotNull() & (
+            F.col("distance").isNull() | (F.col("_nd") < F.col("distance"))
+        )
+        return state.join(cand, "vertex", "full_outer").select(
+            "vertex",
+            F.when(better, F.col("_nd")).otherwise(F.col("distance")).alias("distance"),
+            F.when(better, F.col("_np")).otherwise(F.col("predecessor")).alias("predecessor"),
+            better.alias("_impr"),
+        )
+
     with iterloop.small_plan(spark, G.number_of_vertices()):
         while True:
-            # relax edges out of last round's improved vertices (the frontier)
-            cand = (
-                edges.join(
-                    iterloop.hint_state_join(
-                        dist.filter(F.col("_impr")).select(
-                            F.col("vertex").alias(SRC), F.col("distance").alias("_d")
-                        ),
-                        G.number_of_vertices(),
-                    ),
-                    SRC,
-                )
-                .select(
-                    F.col(DST).alias("vertex"),
-                    (F.col("_d") + F.col("_w")).alias("_nd"),
-                    F.col(SRC).alias("_np"),
-                )
-            )
-            if cutoff is not None:
-                cand = cand.filter(F.col("_nd") <= cutoff)
-            cand = (
-                cand.groupBy("vertex")
-                .agg(F.min(F.struct(F.col("_nd"), F.col("_np"))).alias("_best"))
-                .select("vertex", F.col("_best._nd").alias("_nd"), F.col("_best._np").alias("_np"))
-            )
-            # one fused update+improved-flag pass: dist comes back from the
-            # checkpoint hash-partitioned on vertex and cand leaves its groupBy
-            # likewise, so this full-outer join adds no exchange
-            better = F.col("_nd").isNotNull() & (
-                F.col("distance").isNull() | (F.col("_nd") < F.col("distance"))
-            )
-            dist = iterloop.materialize(
-                dist.join(cand, "vertex", "full_outer").select(
-                    "vertex",
-                    F.when(better, F.col("_nd")).otherwise(F.col("distance")).alias("distance"),
-                    F.when(better, F.col("_np")).otherwise(F.col("predecessor")).alias("predecessor"),
-                    better.alias("_impr"),
-                )
-            )
+            # RELAX_PASSES_PER_SYNC Bellman-Ford relaxations per
+            # materialize+convergence cycle: relaxations are confluent
+            # min-plus updates, so the fixpoint is unchanged while the
+            # fixed per-round cost (checkpoint job + scalar job) is paid
+            # 1/k as often. The check stays sound: final pass's _impr
+            # empty => its frontier relaxed to nothing new => fixpoint.
+            step = dist
+            for _ in range(RELAX_PASSES_PER_SYNC):
+                step = relax(step)
+            dist = iterloop.materialize(step)
             (n_improved,) = iterloop.collect_scalars(
                 dist, [F.sum(F.col("_impr").cast("long"))]
             )
