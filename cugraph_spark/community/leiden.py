@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..constants import SRC, DST, WEIGHT
 from ..plans import iterloop
 from ..structure.graph import Graph
-from .louvain import _one_level, modularity_of
+from ._local_tail import LOCAL_TAIL_MAX_EDGES, local_tail
+from .louvain import _apply_tail, _one_level, modularity_of
 
 
 def _split_disconnected(edges: DataFrame, assign: DataFrame) -> DataFrame:
@@ -75,13 +76,23 @@ def leiden(
 
     # vertex/community-sized state throughout -> small-state loop regime
     # (AQE off, few shuffle partitions) for the whole dendrogram walk
+    n_level_edges = G.number_of_edges(directed_edges=True)
     with iterloop.small_plan(
         G.edgelist.sparkSession,
         G.number_of_vertices(),
-        shuffled_rows=G.number_of_edges(directed_edges=True),
+        shuffled_rows=n_level_edges,
     ):
         for level in range(max_level):
-            assign, q = _one_level(edges, resolution, min(max_iter, 20), threshold)
+            # skip _one_level's modularity pass: the split below changes
+            # the partition, so Q is only meaningful post-refinement
+            assign, _ = _one_level(
+                edges,
+                resolution,
+                min(max_iter, 20),
+                threshold,
+                compute_q=False,
+                n_edges=n_level_edges,
+            )
             assign = _split_disconnected(edges, assign)  # the Leiden guarantee
             q = modularity_of(edges, assign, resolution)
             mapping = iterloop.materialize(
@@ -91,8 +102,10 @@ def leiden(
                 ).select("vertex", F.col("_n").alias("community"))
             )
             q_final = q
-            n_comms = assign.select("community").distinct().count()
-            if n_comms == assign.count() or level == max_level - 1:
+            n_comms, n_verts = iterloop.collect_scalars(
+                assign, [F.countDistinct("community"), F.count("*")]
+            )
+            if n_comms == n_verts or level == max_level - 1:
                 break
             edges = iterloop.materialize(
                 edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
@@ -100,6 +113,22 @@ def leiden(
                 .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
                 .agg(F.sum("_w").alias("_w"))
             )
+            # dendrogram tail (see louvain.py): driver-sized coarsened
+            # levels finish locally, with the Leiden connectivity split
+            # applied after each local level
+            (n_level_edges,) = iterloop.collect_scalars(edges, [F.count("*")])
+            if n_level_edges <= LOCAL_TAIL_MAX_EDGES:
+                rows = [(r[0], r[1], r[2]) for r in edges.collect()]
+                comm, q_final = local_tail(
+                    rows,
+                    resolution,
+                    max_level - level - 1,
+                    min(max_iter, 20),
+                    threshold,
+                    leiden_split=True,
+                )
+                mapping = _apply_tail(mapping, comm)
+                break
 
     out = mapping.select("vertex", F.col("community").alias("partition"))
     return G.unrenumber(out, "vertex"), q_final

@@ -36,6 +36,38 @@ from pyspark.sql import DataFrame, functions as F
 from ..constants import SRC, DST, WEIGHT
 from ..plans import iterloop
 from ..structure.graph import Graph
+from ._local_tail import LOCAL_TAIL_MAX_EDGES, local_tail
+
+
+def _apply_tail(mapping: DataFrame, comm: dict) -> DataFrame:
+    """Compose a driver-side tail assignment (level-node -> label) onto
+    the original-vertex mapping; level-nodes absent from the tail (edge-
+    free communities) keep their current label."""
+    if not comm:
+        return mapping
+    spark = mapping.sparkSession
+    tail_df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in comm.items()], "community long, _next long"
+    )
+    return iterloop.materialize(
+        mapping.join(F.broadcast(tail_df), "community", "left").select(
+            "vertex", F.coalesce("_next", F.col("community")).alias("community")
+        )
+    )
+
+
+# Frontier engages when movers * factor < |V| (tail passes); early
+# whole-graph passes recompute everyone. A huge factor disables the
+# frontier entirely (every pass recomputes every vertex).
+_FRONTIER_BYPASS_FACTOR = 4
+
+# The frontier trades extra per-pass jobs (affected-set materialize, semi
+# joins, carried-row union) for smaller shuffles, which only pays when
+# the per-pass w_iC shuffle is actually big: measured at sf0.01 (54k
+# edges) frontier-on runs 1.5-2x SLOWER (21-34s vs 15-16s leiden) with
+# identical output, so it stays off below this edge count and engages
+# where the shuffle volume dominates fixed job cost.
+_FRONTIER_MIN_EDGES = 5_000_000
 
 
 def modularity_of(edges: DataFrame, assign: DataFrame, resolution: float = 1.0) -> float:
@@ -74,11 +106,30 @@ def modularity_of(edges: DataFrame, assign: DataFrame, resolution: float = 1.0) 
     return float(row or 0.0)
 
 
-def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: float):
+def _one_level(
+    edges: DataFrame,
+    resolution: float,
+    max_iter: int,
+    threshold: float,
+    compute_q: bool = True,
+    n_edges: int | None = None,
+):
     """Local-move passes on one graph level.
 
     edges: symmetrized (src, dst, _w). Returns (assign DF (vertex,
-    community), modularity). Communities are labeled by min member vertex.
+    community), modularity — None when ``compute_q=False``). Communities
+    are labeled by min member vertex.
+
+    Frontier-ized inner loop: a vertex's candidate gains change only if
+    it moved, a candidate community's membership changed (its sigma or
+    the vertex's own-community term shifts), or a neighbor moved (its
+    w_iC buckets shift). After the first full pass, gains are recomputed
+    only for that affected set — members of changed communities plus
+    in-neighbors of those members — while every other vertex carries its
+    cached ``best`` row forward (the damping parity filter is re-applied
+    each pass, so a previously parity-blocked move still fires). Tail
+    passes that move a handful of vertices then shuffle a handful of
+    rows instead of the whole edge list.
     """
     spark = edges.sparkSession
     deg = edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum("_w").alias("_k"))
@@ -90,19 +141,43 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
 
     assign = deg.select("vertex", F.col("vertex").alias("community"))
     assign = iterloop.materialize(assign)
+    hint = lambda df: iterloop.hint_state_join(df, n_verts_hint)
 
+    # Vertices with no non-loop edge never appear in `best` (no w_iC rows)
+    # and never move; carrying them statically lets each pass derive the
+    # next assignment as a pure projection of the checkpointed `best`
+    # instead of paying a second checkpoint job per pass.
+    iso = iterloop.materialize(
+        deg.select("vertex").join(
+            edges.filter(F.col(SRC) != F.col(DST)).select(F.col(SRC).alias("vertex")),
+            "vertex",
+            "left_anti",
+        )
+    )
+    (n_iso,) = iterloop.collect_scalars(iso, [F.count("*")])
+    iso_assign = (
+        iso.select("vertex", F.col("vertex").alias("community")) if n_iso else None
+    )
+
+    frontier_ok = n_edges is not None and n_edges > _FRONTIER_MIN_EDGES
+    best_prev = None  # cached (vertex, community, _best, _gain, _curgain)
+    affected = None  # None = recompute everyone (first pass)
     for it in range(max_iter):
         a_dst = assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cj"))
-        hint = lambda df: iterloop.hint_state_join(df, n_verts_hint)
         sigma = (
             assign.join(hint(deg), "vertex")
             .groupBy(F.col("community").alias("_cj"))
             .agg(F.sum("_k").alias("_sig"))
         )
-        # w_iC: weight from vertex i to each neighbor community C
+        # w_iC: weight from vertex i to each neighbor community C —
+        # restricted to the affected frontier after the first pass
+        wic_edges = edges.filter(F.col(SRC) != F.col(DST))
+        if affected is not None:
+            wic_edges = wic_edges.join(
+                hint(affected.withColumnRenamed("vertex", SRC)), SRC, "semi"
+            )
         wic = (
-            edges.filter(F.col(SRC) != F.col(DST))
-            .join(iterloop.hint_state_join(a_dst, n_verts_hint), DST)
+            wic_edges.join(iterloop.hint_state_join(a_dst, n_verts_hint), DST)
             .groupBy(F.col(SRC).alias("vertex"), "_cj")
             .agg(F.sum("_w").alias("_wic"))
         )
@@ -143,39 +218,72 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
                 "_curgain",
             )
         )
-        moves = best.filter(
-            (F.col("_best") != F.col("community"))
-            & (F.col("_gain") > F.coalesce("_curgain", F.lit(0.0)) + 1e-12)
+        if best_prev is not None:
+            best = best.unionByName(
+                best_prev.join(hint(affected), "vertex", "left_anti")
+            )
+        best = iterloop.materialize(best)
+        best_prev = best
+
+        mv = (F.col("_best") != F.col("community")) & (
+            F.col("_gain") > F.coalesce("_curgain", F.lit(0.0)) + 1e-12
         )
         # oscillation damping: alternate move direction by pass parity
         if it % 2 == 0:
-            moves = moves.filter(F.col("_best") < F.col("community"))
+            mv = mv & (F.col("_best") < F.col("community"))
         else:
-            moves = moves.filter(F.col("_best") > F.col("community"))
-        moves = iterloop.materialize(
-            moves.select(
-                "vertex",
-                F.col("_best").alias("community"),
-                (F.col("_gain") - F.coalesce("_curgain", F.lit(0.0))).alias("_dq"),
-            )
-        )
-        # gain-based stop (cheap agg on the small moves DF) replaces the
+            mv = mv & (F.col("_best") > F.col("community"))
+        moved = best.filter(mv)
+        # gain-based stop (cheap agg on the small moves set) replaces the
         # 2-extra-jobs-per-pass full modularity recomputation; ΔQ of the
         # applied moves upper-bounds the modularity improvement scale
         n_moves, gain_sum = iterloop.collect_scalars(
-            moves, [F.count("*"), F.coalesce(F.sum("_dq"), F.lit(0.0))]
+            moved,
+            [
+                F.count("*"),
+                F.coalesce(
+                    F.sum(F.col("_gain") - F.coalesce("_curgain", F.lit(0.0))),
+                    F.lit(0.0),
+                ),
+            ],
         )
         if not n_moves or (gain_sum or 0.0) / two_m < threshold:
             break
-        new_assign = (
-            assign.join(
-                hint(moves.select("vertex", F.col("community").alias("_new"))),
-                "vertex",
-                "left",
-            )
-            .select("vertex", F.coalesce("_new", F.col("community")).alias("community"))
+        # next assignment = join-free projection over the checkpointed
+        # best (the old path joined assign with the moved set); checkpoint
+        # it once — several consumers broadcast it next pass
+        assign = best.select(
+            "vertex", F.when(mv, F.col("_best")).otherwise(F.col("community")).alias("community")
         )
-        assign = iterloop.materialize(new_assign)
+        if iso_assign is not None:
+            assign = assign.unionByName(iso_assign)
+        assign = iterloop.materialize(assign)
+        if not frontier_ok or n_moves * _FRONTIER_BYPASS_FACTOR >= n_verts_hint:
+            # most of the graph is in motion (early passes): the frontier
+            # bookkeeping costs more than it saves — full recompute
+            affected = None
+            best_prev = None
+            continue
+        # next pass's frontier: communities touched by a move (old or new
+        # side) have stale sigma; their members' own/candidate gains and
+        # the w_iC buckets of anyone pointing AT those members are stale.
+        # movers are members of a changed community under the new assign,
+        # and leavers are movers, so members(changed) covers both.
+        changed = (
+            moved.select(F.col("community").alias("_cc"))
+            .unionByName(moved.select(F.col("_best").alias("_cc")))
+            .distinct()
+        )
+        members = assign.join(
+            hint(changed.withColumnRenamed("_cc", "community")), "community", "semi"
+        ).select("vertex")
+        in_nbrs = (
+            edges.join(
+                hint(members.withColumnRenamed("vertex", DST)), DST, "semi"
+            )
+            .select(F.col(SRC).alias("vertex"))
+        )
+        affected = iterloop.materialize(members.unionByName(in_nbrs).distinct())
 
     # canonical community ids: min member vertex
     canon = assign.groupBy("community").agg(F.min("vertex").alias("_canon"))
@@ -183,7 +291,7 @@ def _one_level(edges: DataFrame, resolution: float, max_iter: int, threshold: fl
         iterloop.hint_state_join(canon, n_verts_hint), "community"
     ).select("vertex", F.col("_canon").alias("community"))
     assign = iterloop.materialize(assign)
-    q_final = modularity_of(edges, assign, resolution)  # once per level
+    q_final = modularity_of(edges, assign, resolution) if compute_q else None
     deg.unpersist()
     return assign, q_final
 
@@ -213,13 +321,16 @@ def louvain(
     # coarsened edge list shrinks level over level), so the small-state
     # loop regime (AQE off, few shuffle partitions, broadcast hints)
     # applies to the whole dendrogram walk
+    n_level_edges = G.number_of_edges(directed_edges=True)
     with iterloop.small_plan(
         G.edgelist.sparkSession,
         G.number_of_vertices(),
-        shuffled_rows=G.number_of_edges(directed_edges=True),
+        shuffled_rows=n_level_edges,
     ):
         for level in range(max_level):
-            assign, q = _one_level(edges, resolution, max_iter, threshold)
+            assign, q = _one_level(
+                edges, resolution, max_iter, threshold, n_edges=n_level_edges
+            )
             mapping = iterloop.materialize(
                 mapping.join(
                     assign.select(F.col("vertex").alias("community"), F.col("community").alias("_next")),
@@ -239,6 +350,18 @@ def louvain(
                 .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
                 .agg(F.sum("_w").alias("_w"))
             )
+            # dendrogram tail: coarsened levels shrink geometrically — once
+            # the community graph fits on the driver, finish the remaining
+            # levels with sequential Louvain locally instead of paying
+            # dozens of fixed-cost Spark jobs over a few thousand rows
+            (n_level_edges,) = iterloop.collect_scalars(edges, [F.count("*")])
+            if n_level_edges <= LOCAL_TAIL_MAX_EDGES:
+                rows = [(r[0], r[1], r[2]) for r in edges.collect()]
+                comm, q_final = local_tail(
+                    rows, resolution, max_level - level - 1, max_iter, threshold
+                )
+                mapping = _apply_tail(mapping, comm)
+                break
 
     out = mapping.select("vertex", F.col("community").alias("partition"))
     return G.unrenumber(out, "vertex"), q_final

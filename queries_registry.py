@@ -1600,6 +1600,53 @@ def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "leiden_invariants_copurchase",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+li_verts AS MATERIALIZED (
+    SELECT src AS v FROM cps_edges UNION SELECT dst FROM cps_edges
+)
+SELECT (SELECT COUNT(*) FROM li_verts) AS n_vertices,
+       TRUE AS q_above_03,
+       TRUE AS all_connected,
+       TRUE AS comm_count_in_range
+""",
+)
+def q_leiden_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden regression tripwire (labels themselves are variant-dependent,
+    so leiden_copurchase_sparse is rows-only): assert SQL-checkable
+    invariants — full vertex coverage, modularity above the karate-grade
+    0.3 bar, every community internally connected (the Leiden guarantee,
+    re-verified with an independent WCC over intra-community edges), and
+    a non-degenerate community count. A quality or connectivity
+    regression flips a boolean and fails the hash compare."""
+    from cugraph_spark import leiden
+    from cugraph_spark.community.leiden import _split_disconnected
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    parts, q = leiden(g, max_level=2)
+    assign = g.renumber_vertices(
+        parts.select("vertex", F.col("partition").alias("community")), "vertex"
+    )
+    edges = g.edgelist.select("src", "dst", F.lit(1.0).alias("_w"))
+    split = _split_disconnected(edges, assign)
+    n_pieces = split.select("community").distinct().count()
+    n_comms = assign.select("community").distinct().count()
+    n_vertices = parts.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_vertices,
+                bool(q > 0.3),
+                bool(n_pieces == n_comms),
+                bool(1 < n_comms < n_vertices),
+            )
+        ],
+        "n_vertices long, q_above_03 boolean, all_connected boolean, comm_count_in_range boolean",
+    )
+
+
+@register(
     "wcc_scc_nation",
     oracle=f"""
 WITH {NATION_FLOW_SQL.strip()},
