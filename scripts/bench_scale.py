@@ -1,38 +1,65 @@
-import time, sys
-sys.path.insert(0, '/root/repo')
+"""R-MAT scaling probe: the measured evidence behind the 100-TB story.
+
+Generates R-MAT graphs (16 edges/vertex, the reference benchmark's
+edgefactor) at increasing scales and times the headline algorithms on
+each; near-linear growth in |E| across two orders of magnitude is the
+strongest local signal the plans survive a cluster-scale blow-up. The
+reference's published anchor is R-MAT scale-23 (134M edges) on 2 GPUs:
+BFS 0.569s, SSSP 1.481s (benchmarks/cugraph/standalone).
+
+Usage: python scripts/bench_scale.py [scale ...]   (default: 18 20 22)
+Set SPARK_GRAFT_DRIVER_MEM=48g for scale >= 22 (134M symmetrized rows).
+Prints one JSON line per scale.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
+
 from cugraph_spark.session import get_spark
 from cugraph_spark import Graph, pagerank, bfs, weakly_connected_components, sssp, rmat
+
+scales = [int(a) for a in sys.argv[1:]] or [18, 20, 22]
 
 spark = get_spark("scale_probe")
 spark.sparkContext.setLogLevel("ERROR")
 
-for scale in (18, 20):
+for scale in scales:
     ne = (1 << scale) * 16
+    res = {"metric": "rmat_scale_probe", "scale": scale, "unit": "sec"}
     t0 = time.time()
     edges = rmat(scale, ne, seed=42, include_edge_weights=True,
                  minimum_weight=0.1, maximum_weight=1.0, spark=spark)
     g = Graph(directed=False)
     g.from_edgelist(edges, "src", "dst", weight="weight")
-    n_e = g.number_of_edges(directed_edges=True)
-    n_v = g.number_of_vertices()
-    t_build = time.time() - t0
-    print(f"scale={scale}: |V|={n_v} |E|={n_e} build={t_build:.1f}s", flush=True)
+    res["edges"] = g.number_of_edges(directed_edges=True)
+    res["vertices"] = g.number_of_vertices()
+    res["build"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    pagerank(g, max_iter=10, tol=0.0, fail_on_nonconvergence=False).agg(F.sum("pagerank")).collect()
-    print(f"  pagerank(10 iters): {time.time()-t0:.1f}s", flush=True)
+    pagerank(g, max_iter=10, tol=0.0, fail_on_nonconvergence=False).agg(
+        F.sum("pagerank")
+    ).collect()
+    res["pagerank_10iter"] = round(time.time() - t0, 1)
 
     t0 = time.time()
     bfs(g, 0).agg(F.max("distance")).collect()
-    print(f"  bfs: {time.time()-t0:.1f}s", flush=True)
+    res["bfs"] = round(time.time() - t0, 1)
 
     t0 = time.time()
     weakly_connected_components(g).agg(F.countDistinct("labels")).collect()
-    print(f"  wcc: {time.time()-t0:.1f}s", flush=True)
+    res["wcc"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    sssp(g, 0).agg(F.sum(F.when(F.col("distance") != float("inf"), F.col("distance")))).collect()
-    print(f"  sssp: {time.time()-t0:.1f}s", flush=True)
+    sssp(g, 0).agg(
+        F.sum(F.when(F.col("distance") != float("inf"), F.col("distance")))
+    ).collect()
+    res["sssp"] = round(time.time() - t0, 1)
+
+    print(json.dumps(res), flush=True)
     g.edgelist.unpersist()
+    g.vertices_internal.unpersist()
 spark.stop()
