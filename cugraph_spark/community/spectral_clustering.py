@@ -1,19 +1,31 @@
-"""Spectral clustering (approximate) + clustering analysis entry points.
+"""Spectral clustering (Lanczos) + clustering analysis entry points.
 
 Reference: community/spectral_clustering.py:18,118 —
 ``spectralBalancedCutClustering`` / ``spectralModularityMaximizationClustering``
 backed by legacy nvgraph Lanczos+kmeans (cpp legacy
-community/legacy/spectral_clustering.cu). SURVEY §2.D flags an exact port
-as out-of-scope; this is the documented approximation: a power-iteration
-spectral embedding (k seeded random vectors smoothed by repeated
-normalized-adjacency multiplication — converging toward the dominant
-eigenspace) followed by Lloyd k-means expressed in DataFrame ops with
-broadcast centroid literals. Deterministic given the seed; validated by
-cut/modularity quality, not exact labels (the reference's own tests use
-score thresholds, tests/community/test_balanced_cut.py).
+community/legacy/spectral_clustering.cu). Matching algorithm here:
+**distributed Lanczos with full reorthogonalization** on the symmetric
+normalized Laplacian ``L_sym = I - D^{-1/2} A D^{-1/2}``. Each Lanczos
+step is one SpMV (edge join + groupBy sum — the same shape as a pagerank
+pass), one batched dot-product agg against ALL stored basis vectors
+(full reorthogonalization, numerically textbook-stable for the small
+step counts involved), and one norm agg; the m×m tridiagonal
+eigenproblem is solved on the driver with numpy (m ≤ ~40 — driver-sized
+at any graph scale) and the Ritz eigenvectors are rebuilt as literal
+linear combinations of the stored basis columns. The Lanczos basis
+lives as columns of ONE vertex-keyed DataFrame, so state stays a single
+V-row table regardless of step count.
+
+Followed by Lloyd k-means in DataFrame ops with broadcast centroid
+literals. Deterministic given the seed; validated by Ritz-value parity
+vs dense numpy eigendecomposition (tests) plus cut/modularity quality,
+not exact labels (the reference's own tests use score thresholds,
+tests/community/test_balanced_cut.py).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -22,52 +34,133 @@ from ..plans import iterloop
 from ..structure.graph import Graph
 
 
-def _embedding(G: Graph, dim: int, iters: int, seed: int) -> DataFrame:
-    """(vertex, e0..e{dim-1}) power-iteration embedding over D^-1 A."""
+def _lanczos_embedding(
+    G: Graph,
+    k: int,
+    max_steps: int,
+    tol: float,
+    seed: int,
+    which: str = "smallest",
+) -> DataFrame:
+    """(vertex, e0..e{k-1}): Ritz eigenvectors of L_sym = I - D^{-1/2} A
+    D^{-1/2} for the ``which`` ("smallest"/"largest") end of the spectrum.
+
+    Classical Lanczos with full reorthogonalization; the basis vectors
+    are columns v1..vj of one vertex-keyed DataFrame. Per step: one SpMV
+    job, one batched-dots job (alpha + all reorth coefficients in a
+    single agg), one norm job. Early exit on invariant-subspace
+    breakdown or when the target Ritz values move < tol between steps.
+    """
+    import numpy as np
+
     w = F.col(WEIGHT) if G.is_weighted() else F.lit(1.0)
     edges = G.edgelist.select(SRC, DST, w.alias("_w"))
     degw = edges.groupBy(SRC).agg(F.sum("_w").alias("_d"))
+    # D^{-1/2} A D^{-1/2} coefficients (isolated vertices have no rows)
     norm = iterloop.persist(
-        edges.join(degw, SRC).select(SRC, DST, (F.col("_w") / F.col("_d")).alias("_c"))
+        edges.join(degw.withColumnRenamed(SRC, SRC), SRC)
+        .join(
+            degw.select(F.col(SRC).alias(DST), F.col("_d").alias("_dd")), DST
+        )
+        .select(SRC, DST, (F.col("_w") / F.sqrt(F.col("_d") * F.col("_dd"))).alias("_c"))
     )
-    cols = [f"e{i}" for i in range(dim)]
-    state = G.vertices_internal.select(
-        "vertex",
-        *[
-            (F.pmod(F.xxhash64("vertex", F.lit(seed + i)), F.lit(1 << 20)) / float(1 << 20) - 0.5).alias(c)
-            for i, c in enumerate(cols)
-        ],
-    )
-    state = iterloop.materialize(state)
     n_v = G.number_of_vertices()
+    m = min(max(n_v - 1, 1), max_steps)
+
+    # v1: seeded pseudo-random, normalized
+    raw = (
+        F.pmod(F.xxhash64("vertex", F.lit(seed)), F.lit(1 << 20)) / float(1 << 20)
+        - 0.5
+    )
+    state = iterloop.materialize(G.vertices_internal.select("vertex", raw.alias("v1")))
+    (nrm0,) = iterloop.collect_scalars(state, [F.sqrt(F.sum(F.col("v1") ** 2))])
+    state = iterloop.materialize(
+        state.select("vertex", (F.col("v1") / F.lit(nrm0 or 1.0)).alias("v1"))
+    )
+
+    alphas: list[float] = []
+    betas: list[float] = []  # beta_j links v_j and v_{j+1}
+    prev_ritz = None
+    n_basis = 1
     with iterloop.small_plan(edges.sparkSession, n_v):
-      for it in range(iters):
-        msgs = (
-            norm.join(
-                iterloop.hint_state_join(
-                    state.select(F.col("vertex").alias(SRC), *cols), n_v
-                ),
-                SRC,
+        for j in range(1, m + 1):
+            vj = f"v{j}"
+            basis = [f"v{i}" for i in range(1, j + 1)]
+            # SpMV: (L v)(u) = v(u) - sum_nbr c_uv v(v)
+            av = (
+                norm.join(
+                    iterloop.hint_state_join(
+                        state.select(F.col("vertex").alias(SRC), F.col(vj).alias("_x")),
+                        n_v,
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias("vertex"))
+                .agg(F.sum(F.col("_c") * F.col("_x")).alias("_av"))
             )
-            .groupBy(F.col(DST).alias("vertex"))
-            .agg(*[F.sum(F.col(c) * F.col("_c")).alias(c) for c in cols])
-        )
-        # mix with self (lazy random-walk) to damp oscillation
-        state = (
-            state.join(msgs.select("vertex", *[F.col(c).alias(f"_m{c}") for c in cols]), "vertex", "left")
-            .select(
-                "vertex",
-                *[
-                    (0.5 * F.col(c) + 0.5 * F.coalesce(F.col(f"_m{c}"), F.col(c))).alias(c)
-                    for c in cols
-                ],
+            work = iterloop.materialize(
+                state.join(av, "vertex", "left").withColumn(
+                    "_w", F.col(vj) - F.coalesce("_av", F.lit(0.0))
+                )
             )
-        )
-        # state is read twice per pass (message join + self-mix): checkpoint
-        # every pass or the lazy chain re-executes prior passes per use
-        state = iterloop.materialize(state)
+            # alpha + full-reorth coefficients in ONE agg
+            dots = iterloop.collect_scalars(
+                work, [F.sum(F.col("_w") * F.col(b)) for b in basis]
+            )
+            alpha = float(dots[-1])
+            alphas.append(alpha)
+            # _o stays a lazy projection over the checkpointed work table
+            # (consumed by the norm agg and the next basis column — both
+            # cheap re-evaluations, no extra checkpoint)
+            ortho = F.col("_w")
+            for b, d in zip(basis, dots):
+                ortho = ortho - F.lit(float(d)) * F.col(b)
+            work = work.withColumn("_o", ortho)
+            (beta,) = iterloop.collect_scalars(
+                work, [F.sqrt(F.sum(F.col("_o") ** 2))]
+            )
+            beta = float(beta or 0.0)
+
+            # driver-side tridiagonal Ritz values for the convergence test
+            T = np.diag(alphas)
+            for i, b in enumerate(betas):
+                T[i, i + 1] = T[i + 1, i] = b
+            evals = np.linalg.eigvalsh(T)
+            ritz = np.sort(evals)[:k] if which == "smallest" else np.sort(evals)[-k:]
+            done = (
+                prev_ritz is not None
+                and len(prev_ritz) == len(ritz)
+                and float(np.max(np.abs(ritz - prev_ritz))) < tol
+            )
+            prev_ritz = ritz
+
+            if beta < 1e-10 or j == m or done:
+                state = work.select("vertex", *basis)
+                n_basis = j
+                break
+            betas.append(beta)
+            state = iterloop.materialize(
+                work.select(
+                    "vertex", *basis, (F.col("_o") / F.lit(beta)).alias(f"v{j + 1}")
+                )
+            )
     norm.unpersist()
-    return iterloop.materialize(state)
+
+    # Ritz vectors: y_i = sum_j S[j, i] v_j  (S from the driver-side eig)
+    T = np.diag(alphas[:n_basis])
+    for i, b in enumerate(betas[: n_basis - 1]):
+        T[i, i + 1] = T[i + 1, i] = b
+    evals, evecs = np.linalg.eigh(T)
+    order = np.argsort(evals)
+    idx = order[:k] if which == "smallest" else order[-k:][::-1]
+    basis = [f"v{i}" for i in range(1, n_basis + 1)]
+    out_cols = []
+    for out_i, ti in enumerate(idx):
+        expr = F.lit(0.0)
+        for bj, b in enumerate(basis):
+            expr = expr + F.lit(float(evecs[bj, ti])) * F.col(b)
+        out_cols.append(expr.alias(f"e{out_i}"))
+    return iterloop.materialize(state.select("vertex", *out_cols))
 
 
 def _kmeans(emb: DataFrame, k: int, iters: int, seed: int) -> DataFrame:
@@ -108,10 +201,13 @@ def spectralBalancedCutClustering(
     kmean_max_iter: int = 100,
     seed: int = 42,
 ) -> DataFrame:
-    """Returns (vertex, cluster). Approximate (see module docstring)."""
+    """Returns (vertex, cluster). Lanczos eigenvectors of the normalized
+    Laplacian + DataFrame k-means (see module docstring)."""
     if G.is_directed():
         raise ValueError("input graph must be undirected")
-    emb = _embedding(G, max(num_eigen_vects, 2), min(evs_max_iter, 20), seed)
+    k = max(num_eigen_vects, 2)
+    steps = min(evs_max_iter, max(2 * k + 12, 20))
+    emb = _lanczos_embedding(G, k, steps, evs_tolerance, seed, which="smallest")
     out = _kmeans(emb, num_clusters, min(kmean_max_iter, 10), seed)
     return G.unrenumber(out, "vertex")
 
@@ -119,7 +215,9 @@ def spectralBalancedCutClustering(
 def spectralModularityMaximizationClustering(
     G: Graph, num_clusters: int, num_eigen_vects: int = 2, **kwargs
 ) -> DataFrame:
-    """Same embedding machinery; the modularity-flavored variant of the
-    reference differs only in the matrix it factors (B vs L) — the
-    power-embedding approximation serves both entry points."""
+    """Same Lanczos machinery: the reference factors the modularity
+    matrix B = A - d d^T/2m; the dominant eigenspace of the normalized
+    adjacency (== smallest of L_sym, identical eigenvectors up to the
+    shift) is the standard proxy for B's dominant space, so both entry
+    points share the L_sym Lanczos."""
     return spectralBalancedCutClustering(G, num_clusters, num_eigen_vects, **kwargs)

@@ -1647,6 +1647,43 @@ def q_leiden_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spectral_invariants_copurchase",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+si_verts AS MATERIALIZED (
+    SELECT src AS v FROM cps_edges UNION SELECT dst FROM cps_edges
+),
+si_m AS MATERIALIZED (SELECT COUNT(*) / 2 AS m FROM cps_edges)
+SELECT (SELECT COUNT(*) FROM si_verts) AS n_vertices,
+       TRUE AS k_clusters,
+       TRUE AS cut_below_half
+""",
+)
+def q_spectral_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral clustering tripwire (labels are eigensolver-dependent, so
+    no label oracle): Lanczos balanced cut over the copurchase graph must
+    cover every vertex, produce the requested number of clusters, and cut
+    strictly fewer than half the edges (a random k-way split cuts
+    ~(1-1/k); the spectral objective minimizes it)."""
+    from cugraph_spark.community.clustering_scores import analyzeClustering_edge_cut
+    from cugraph_spark.community.spectral_clustering import (
+        spectralBalancedCutClustering,
+    )
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    k = 4
+    out = spectralBalancedCutClustering(g, k, num_eigen_vects=3)
+    cut = analyzeClustering_edge_cut(g, k, out)
+    m = g.number_of_edges()
+    n_vertices = out.count()
+    n_clusters = out.select("cluster").distinct().count()
+    return spark.createDataFrame(
+        [(n_vertices, bool(n_clusters == k), bool(cut < 0.5 * m))],
+        "n_vertices long, k_clusters boolean, cut_below_half boolean",
+    )
+
+
+@register(
     "wcc_scc_nation",
     oracle=f"""
 WITH {NATION_FLOW_SQL.strip()},

@@ -51,3 +51,57 @@ def test_hungarian_graph(spark):
     got = {r["vertex"]: r["assignment"] for r in df.collect()}
     assert sorted(got) == [0, 1, 2]
     assert len(set(got.values())) == 3
+
+
+def test_lanczos_ritz_values_match_dense_eigh(spark):
+    # exactness check: smallest-k eigenvalues of L_sym from the
+    # distributed Lanczos must match a dense numpy eigendecomposition
+    import numpy as np
+    from cugraph_spark import Graph
+    from cugraph_spark.community.spectral_clustering import _lanczos_embedding
+
+    rng = np.random.RandomState(7)
+    n = 24
+    edges = []
+    # two noisy blocks with a weak bridge
+    for a in range(n):
+        for b in range(a + 1, n):
+            same = (a < n // 2) == (b < n // 2)
+            p = 0.6 if same else 0.05
+            if rng.rand() < p:
+                edges.append((a, b))
+    edges.append((0, n - 1))
+    g = Graph(directed=False)
+    g.from_edgelist(spark.createDataFrame(edges, ["src", "dst"]), "src", "dst")
+
+    # dense ground truth over the vertices that actually have edges
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges})
+    pos = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for a, b in edges:
+        A[pos[a], pos[b]] = A[pos[b], pos[a]] = 1.0
+    d = A.sum(axis=1)
+    Dm = np.diag(1.0 / np.sqrt(d))
+    L = np.eye(len(verts)) - Dm @ A @ Dm
+    want = np.sort(np.linalg.eigvalsh(L))[:3]
+
+    emb = _lanczos_embedding(g, 3, max_steps=len(verts) - 1, tol=1e-12, seed=42)
+    X = (
+        emb.toPandas().set_index("vertex").loc[verts][["e0", "e1", "e2"]].to_numpy()
+    )
+    # Rayleigh quotients of the returned Ritz vectors == eigenvalues
+    got = sorted((x @ L @ x) / (x @ x) for x in X.T)
+    assert np.allclose(got, want, atol=1e-6), (got, want)
+    # and the Fiedler-style embedding separates the planted blocks
+    from cugraph_spark.community.spectral_clustering import spectralBalancedCutClustering
+
+    out = spectralBalancedCutClustering(g, 2, num_eigen_vects=2)
+    lab = {r["vertex"]: r["cluster"] for r in out.collect()}
+    left = {lab[v] for v in verts if v < n // 2}
+    right = {lab[v] for v in verts if v >= n // 2}
+    # blocks mostly separate: majority label differs
+    from collections import Counter
+
+    lc = Counter(lab[v] for v in verts if v < n // 2).most_common(1)[0][0]
+    rc = Counter(lab[v] for v in verts if v >= n // 2).most_common(1)[0][0]
+    assert lc != rc
