@@ -124,6 +124,57 @@ def lsh_topk(
     )
 
 
+def _nearest_list(df, cent):
+    """Assign each (vec_id, _cv) row to its argmax-cosine centroid
+    (list_id tie-break); cent is the tiny broadcast centroid table."""
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "_sim",
+        _dot(F.col("_cv"), F.col("_ctr")) / (_norm(F.col("_cv")) * _norm(F.col("_ctr"))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_sim", "_ctr")
+    )
+
+
+def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
+    """Flat k-means coarse quantizer in DataFrame ops only (shared by
+    ivf_topk and semantic_duplicates): centroids initialize from the
+    ``n_lists`` corpus vectors minimizing (xxhash64(id, seed), id) and
+    refine over fixed Lloyd passes — assignment = broadcast cross join
+    against the tiny centroid table; update = one groupBy with
+    per-dimension avg, carrying centroids of empty lists forward."""
+    cent = (
+        c.orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
+        .limit(n_lists)
+        .select(
+            (
+                F.row_number().over(
+                    Window.orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
+                )
+                - 1
+            ).alias("list_id"),
+            F.col("_cv").alias("_ctr"),
+        )
+    )
+    for _ in range(kmeans_iters):
+        assigned = _nearest_list(c, cent)
+        upd = assigned.groupBy("list_id").agg(
+            F.array(*[F.avg(F.col("_cv")[i]) for i in range(dim)]).alias("_new")
+        )
+        # Left-join onto the PREVIOUS centroid table so lists that receive
+        # zero members keep their old centroid instead of vanishing —
+        # dropping them silently shrinks n_lists and raises the effective
+        # probed fraction.
+        cent = cent.join(upd, "list_id", "left").select(
+            "list_id", F.coalesce("_new", "_ctr").alias("_ctr")
+        )
+        cent = cent.localCheckpoint(eager=True)  # tiny; keeps loop plans O(1)
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -155,49 +206,8 @@ def ivf_topk(
     dim = len(head[0])
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
 
-    # init: the n_lists corpus vectors minimizing xxhash64(id, seed); the
-    # global window is over exactly n_lists rows post-limit — trivial
-    cent = (
-        c.orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
-        .limit(n_lists)
-        .select(
-            (
-                F.row_number().over(
-                    Window.orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
-                )
-                - 1
-            ).alias("list_id"),
-            F.col("_cv").alias("_ctr"),
-        )
-    )
-
-    def nearest(df):
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "_sim",
-            _dot(F.col("_cv"), F.col("_ctr")) / (_norm(F.col("_cv")) * _norm(F.col("_ctr"))),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("list_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_sim", "_ctr")
-        )
-
-    for _ in range(kmeans_iters):
-        assigned = nearest(c)
-        upd = assigned.groupBy("list_id").agg(
-            F.array(*[F.avg(F.col("_cv")[i]) for i in range(dim)]).alias("_new")
-        )
-        # Left-join onto the PREVIOUS centroid table so lists that receive
-        # zero members keep their old centroid instead of vanishing —
-        # dropping them silently shrinks n_lists and raises the effective
-        # probed fraction.
-        cent = cent.join(upd, "list_id", "left").select(
-            "list_id", F.coalesce("_new", "_ctr").alias("_ctr")
-        )
-        cent = cent.localCheckpoint(eager=True)  # tiny; keeps loop plans O(1)
-
-    assigned = nearest(c)  # (vec_id, _cv, list_id)
+    cent = _kmeans_centroids(c, dim, n_lists, kmeans_iters, seed)
+    assigned = _nearest_list(c, cent)  # (vec_id, _cv, list_id)
 
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     q_probe = (
@@ -227,6 +237,61 @@ def ivf_topk(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select("query_id", "vec_id", "cosine")
+    )
+
+
+def semantic_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public scheme):
+    k-means-cluster the embedding space with the shared DataFrame Lloyd
+    quantizer, compare cosine only WITHIN clusters, and mark every vector
+    that has a lower-id same-cluster neighbor with cosine >= threshold as
+    a duplicate of the smallest such id.
+
+    Returns (vec_id, is_duplicate, dup_of). Scale: the pair join is
+    bucketed by list_id — with n_lists sized ~sqrt(N) the within-cluster
+    quadratic term stays bounded, which is the published SemDeDup recipe
+    for web-scale corpora. Deterministic given the seed (xxhash64-picked
+    init, fixed Lloyd count) -> exact cross-engine oracle."""
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("semantic_duplicates: corpus is empty")
+    dim = len(head[0])
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    cent = _kmeans_centroids(c, dim, n_lists, kmeans_iters, seed)
+    assigned = _nearest_list(c, cent)
+    a = assigned.select("list_id", "vec_id", "_cv")
+    b = assigned.select(
+        "list_id", F.col("vec_id").alias("_v2"), F.col("_cv").alias("_c2")
+    )
+    dup = (
+        a.join(b, "list_id")
+        .filter(F.col("_v2") < F.col("vec_id"))
+        .withColumn(
+            "_cos",
+            _dot(F.col("_cv"), F.col("_c2")) / (_norm(F.col("_cv")) * _norm(F.col("_c2"))),
+        )
+        # rounded comparison so the threshold test is boundary-stable
+        # across engines (the exact oracle rounds identically)
+        .filter(F.round(F.col("_cos"), 6) >= threshold)
+        .groupBy("vec_id")
+        .agg(F.min("_v2").alias("dup_of"))
+    )
+    return (
+        c.select("vec_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+        )
     )
 
 

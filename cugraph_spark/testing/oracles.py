@@ -66,42 +66,23 @@ SELECT query_id, vec_id, ROUND(cos, 5) AS cosine FROM lsh_ranked WHERE rn <= {k}
 """
 
 
-def ivf_topk_oracle_sql(
-    dim: int,
-    k: int = 5,
-    n_lists: int = 8,
-    n_probe: int = 3,
-    kmeans_iters: int = 3,
-    n_queries: int = 10,
-    seed: int = 42,
-) -> str:
-    """Exact oracle for ``ivf_topk(emb, q, k, n_lists, n_probe,
-    kmeans_iters)`` over the ``embeddings`` view (queries = vec_id <
-    n_queries).
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
 
-    Every stochastic choice in ivf_topk is xxhash64-derived (centroid
-    init picks the ``n_lists`` vectors minimizing (xxhash64(vec_id,
-    seed), vec_id)) and the Lloyd iteration count is fixed, so the whole
-    pipeline is a pure function of the corpus: unroll the iterations as
-    CTEs. Assignment = per-vector argmax cosine over the centroid table
-    (list_id tie-break); update = per-dimension AVG carrying forward
-    centroids of empty lists; probe = top ``n_probe`` lists per query;
-    final = (cos desc, vec_id) top-k, mirroring
-    pipelines/similarity_search.py:ivf_topk. Centroid means are summed
-    in engine-specific order — 5-dp rounding absorbs the ~1e-14 drift
-    (an assignment flip would need two centroids cosine-equidistant to
-    ~1e-13; measure-zero on real embeddings)."""
+
+def _ivf_kmeans_defs(dim: int, n_lists: int, kmeans_iters: int, seed: int) -> list[str]:
+    """Shared CTE chain for the DataFrame Lloyd quantizer (ivf_topk /
+    semantic_duplicates): xxhash64-picked init, per-vector argmax-cosine
+    assignment (list_id tie-break), per-dimension AVG update carrying
+    empty lists forward, ending in ``ivf_final`` (vec_id, v, list_id)."""
     steps, h = xxhash64_steps(
         "ivf", [("vec_id", "long"), (str(seed), "int")], seed=42
     )
     hash_defs, hashed = cte_chain("ivf_corpus", steps, "ivfh_")
-
-    def cos(a: str, b: str) -> str:
-        return (
-            f"list_dot_product({a}, {b})"
-            f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-        )
-
+    cos = _cos_sql
     avg_arr = "[" + ", ".join(f"AVG(v[{j}])" for j in range(1, dim + 1)) + "]"
     defs = [
         "ivf_corpus AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -125,12 +106,70 @@ def ivf_topk_oracle_sql(
             f"  ON u.list_id = p.list_id)"
         )
     last = f"ivf_cent{kmeans_iters}"
-    defs += [
+    defs.append(
         f"ivf_final AS MATERIALIZED (SELECT vec_id, v, list_id FROM ("
         f"  SELECT c.vec_id, c.v, t.list_id,"
         f"    ROW_NUMBER() OVER (PARTITION BY c.vec_id"
         f"      ORDER BY {cos('c.v', 't.ctr')} DESC, t.list_id) AS rn"
-        f"  FROM ivf_corpus c CROSS JOIN {last} t) WHERE rn = 1)",
+        f"  FROM ivf_corpus c CROSS JOIN {last} t) WHERE rn = 1)"
+    )
+    return defs
+
+
+def semantic_dup_oracle_sql(
+    dim: int,
+    threshold: float,
+    n_lists: int = 16,
+    kmeans_iters: int = 3,
+    seed: int = 42,
+) -> str:
+    """Exact oracle for ``semantic_duplicates(emb, threshold, n_lists,
+    kmeans_iters)``: shared Lloyd CTE chain, then within-cluster pairs
+    with ROUND(cos, 6) >= threshold (rounded on both engines so the
+    comparison is boundary-stable), duplicate = min lower same-cluster
+    id."""
+    defs = _ivf_kmeans_defs(dim, n_lists, kmeans_iters, seed)
+    defs.append(
+        f"sd_dup AS MATERIALIZED (SELECT a.vec_id, MIN(b.vec_id) AS dup_of"
+        f"  FROM ivf_final a JOIN ivf_final b"
+        f"    ON a.list_id = b.list_id AND b.vec_id < a.vec_id"
+        f"  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 6) >= {threshold}"
+        f"  GROUP BY a.vec_id)"
+    )
+    return (
+        f"WITH {', '.join(defs)} SELECT c.vec_id,"
+        f" (d.dup_of IS NOT NULL) AS is_duplicate, d.dup_of"
+        f" FROM ivf_corpus c LEFT JOIN sd_dup d ON d.vec_id = c.vec_id"
+    )
+
+
+def ivf_topk_oracle_sql(
+    dim: int,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    kmeans_iters: int = 3,
+    n_queries: int = 10,
+    seed: int = 42,
+) -> str:
+    """Exact oracle for ``ivf_topk(emb, q, k, n_lists, n_probe,
+    kmeans_iters)`` over the ``embeddings`` view (queries = vec_id <
+    n_queries).
+
+    Every stochastic choice in ivf_topk is xxhash64-derived (centroid
+    init picks the ``n_lists`` vectors minimizing (xxhash64(vec_id,
+    seed), vec_id)) and the Lloyd iteration count is fixed, so the whole
+    pipeline is a pure function of the corpus: unroll the iterations as
+    CTEs (see ``_ivf_kmeans_defs``); probe = top ``n_probe`` lists per
+    query; final = (cos desc, vec_id) top-k, mirroring
+    pipelines/similarity_search.py:ivf_topk. Centroid means are summed
+    in engine-specific order — 5-dp rounding absorbs the ~1e-14 drift
+    (an assignment flip would need two centroids cosine-equidistant to
+    ~1e-13; measure-zero on real embeddings)."""
+    cos = _cos_sql
+    last = f"ivf_cent{kmeans_iters}"
+    defs = _ivf_kmeans_defs(dim, n_lists, kmeans_iters, seed)
+    defs += [
         f"ivf_probe AS MATERIALIZED (SELECT query_id, q, list_id FROM ("
         f"  SELECT c.vec_id AS query_id, c.v AS q, t.list_id,"
         f"    ROW_NUMBER() OVER (PARTITION BY c.vec_id"

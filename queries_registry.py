@@ -1295,6 +1295,73 @@ def _ivf_oracle() -> str:
 ORACLES["embed_topk_ivf"] = _ivf_oracle()
 
 
+@register("semantic_dedup_embeddings")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cluster the embeddings,
+    mark vectors with a lower-id same-cluster neighbor above the cosine
+    threshold. Deterministic -> exact unrolled-Lloyd DuckDB oracle."""
+    from cugraph_spark.pipelines.similarity_search import semantic_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    out = semantic_duplicates(emb, threshold=0.47, n_lists=16, kmeans_iters=3)
+    return out.select("vec_id", "is_duplicate", "dup_of")
+
+
+def _semantic_dup_oracle() -> str:
+    from cugraph_spark.testing.oracles import semantic_dup_oracle_sql
+
+    return semantic_dup_oracle_sql(dim=64, threshold=0.47, n_lists=16, kmeans_iters=3)
+
+
+ORACLES["semantic_dedup_embeddings"] = _semantic_dup_oracle()
+
+DECON_NGRAM = 5
+DECON_EVAL_MAX = 50  # doc_id < 50 plays the benchmark set
+
+
+@register(
+    "decontaminate_documents",
+    oracle=f"""
+WITH dc_toks AS MATERIALIZED (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+),
+dc_sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           CAST(('0x' || substr(md5(array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ')), 1, 15)) AS BIGINT) AS g
+    FROM dc_toks, (SELECT unnest(generate_series(1, 100000)) AS i) idx
+    WHERE i <= greatest(len(t) - {DECON_NGRAM - 1}, 1)
+),
+dc_ev AS MATERIALIZED (
+    SELECT g, MIN(doc_id) AS eval_min FROM dc_sh WHERE doc_id < {DECON_EVAL_MAX} GROUP BY g
+),
+dc_hits AS MATERIALIZED (
+    SELECT s.doc_id, COUNT(DISTINCT s.g) AS n_hits, MIN(e.eval_min) AS first_eval_id
+    FROM dc_sh s JOIN dc_ev e ON e.g = s.g
+    WHERE s.doc_id >= {DECON_EVAL_MAX}
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       h.first_eval_id
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= {DECON_EVAL_MAX}) d
+LEFT JOIN dc_hits h ON h.doc_id = d.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id >= 50) flagged
+    when they share any word {DECON_NGRAM}-gram with the benchmark set
+    (doc_id < 50). Exact n-gram-hash join, no sketching."""
+    from cugraph_spark.pipelines.decontaminate import decontaminate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") >= DECON_EVAL_MAX)
+    ev = docs.filter(F.col("doc_id") < DECON_EVAL_MAX)
+    return decontaminate(train, ev, ngram=DECON_NGRAM, min_hits=1)
+
+
 @register(
     "temporal_degree_cust_supp",
     oracle=f"""

@@ -196,3 +196,61 @@ def test_multimodal_stub_pipeline(spark):
     vids = spark.createDataFrame([(1, 3.5)], "media_id long, duration_s double")
     frames = sample_video_frames(vids, fps=2.0)
     assert frames.count() == 7
+
+
+def test_semantic_duplicates_planted(spark):
+    import math
+
+    from cugraph_spark.pipelines.similarity_search import semantic_duplicates
+
+    # vec 0 and 7 nearly identical; vec 3 its negation (cos -1); others axis-aligned
+    def unit(i, dim=8):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (7, [1.0, 0.0, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, unit(1)),
+        (2, unit(2)),
+        (4, unit(4)),
+        (5, unit(5)),
+        (6, unit(6)),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in semantic_duplicates(
+            emb, threshold=0.95, n_lists=4, kmeans_iters=2
+        ).collect()
+    }
+    assert out[7] == (True, 0)  # higher id marked dup of lower
+    assert out[0] == (False, None)  # canonical keeps
+    assert out[3][0] is False  # negation is not a duplicate
+    assert all(not out[v][0] for v in (1, 2, 4, 5, 6))
+
+
+def test_decontaminate_planted(spark):
+    from cugraph_spark.pipelines.decontaminate import decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "completely unrelated text with no overlap whatsoever here"),
+            (11, "prefix words then the quick brown fox jumps over something"),
+            (12, "another clean training document about graphs and spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"], r["first_eval_id"])
+        for r in decontaminate(train, ev, ngram=5, min_hits=1).collect()
+    }
+    assert out[11][0] is True and out[11][1] >= 1 and out[11][2] == 0
+    assert out[10][0] is False and out[10][2] is None
+    assert out[12][0] is False
