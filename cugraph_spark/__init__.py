@@ -127,6 +127,27 @@ def __getattr__(name):
         "NumberMap": ".structure.number_map",
         "concurrent_bfs": ".traversal.bfs",
         "select_random_vertices": ".structure.graph",
+        # training-data pipeline operators (beyond-reference family)
+        "exact_duplicates": ".pipelines.dedup",
+        "shingles": ".pipelines.dedup",
+        "minhash_signatures": ".pipelines.dedup",
+        "minhash_lsh_candidates": ".pipelines.dedup",
+        "verify_jaccard": ".pipelines.dedup",
+        "minhash_lsh_duplicates": ".pipelines.dedup",
+        "ngram_jaccard_pairs": ".pipelines.dedup",
+        "simhash_fingerprints": ".pipelines.dedup",
+        "simhash_near_duplicates": ".pipelines.dedup",
+        "brute_force_topk": ".pipelines.similarity_search",
+        "lsh_topk": ".pipelines.similarity_search",
+        "ivf_topk": ".pipelines.similarity_search",
+        "semantic_duplicates": ".pipelines.similarity_search",
+        "embedding_near_duplicates": ".pipelines.similarity_search",
+        "with_cosine": ".pipelines.similarity_search",
+        "decontaminate": ".pipelines.decontaminate",
+        "token_counts": ".pipelines.text",
+        "quality_scores": ".pipelines.text",
+        "language_id": ".pipelines.text",
+        "document_fingerprints": ".pipelines.text",
     }
     if name in lazy:
         mod = importlib.import_module(lazy[name], __name__)
