@@ -43,6 +43,25 @@ from ..structure.graph import Graph
 from ..structure.symmetrize import add_reverse_edges
 
 
+# Broadcast cap for the per-round label->root map (16 bytes/row: 8M rows
+# ~ 128 MB). Distinct from iterloop.BROADCAST_STATE_MAX_ROWS because the
+# label-keyed join it protects is SKEWED (giant component), so broadcast
+# stays worth it far past the point where unskewed state joins should
+# fall back to co-partitioned shuffles. Above the cap the join falls back
+# to sort-merge and relies on AQE skew splitting.
+_LABELMAP_BROADCAST_MAX_ROWS = 8_000_000
+
+
+def _skew_safe_hint(df: DataFrame, n_rows: int | None):
+    """Broadcast hint for label/color-keyed join sides: these keys
+    consolidate toward a handful of giant values (one per component), so
+    a shuffle join funnels most rows into one task — broadcast is the
+    skew-immune plan and keeps paying past the normal state threshold."""
+    if n_rows is not None and n_rows <= _LABELMAP_BROADCAST_MAX_ROWS:
+        return F.broadcast(df)
+    return df
+
+
 def weakly_connected_components(G: Graph) -> DataFrame:
     """Returns (vertex, labels); label = min vertex id in the component."""
     edges = G.edgelist.select(SRC, DST)
@@ -78,6 +97,14 @@ def weakly_connected_components(G: Graph) -> DataFrame:
             # two-hop shortcut: each vertex also adopts the min label currently
             # pointing at its label (label -> min(labels that share it))
             lab_min = prop.groupBy(F.col("label").alias("_lab")).agg(F.min("vertex").alias("_root"))
+            # This join is keyed on LABEL, and labels consolidate toward one
+            # giant-component value — a shuffle join funnels most of V into
+            # one reduce task (measured: scale-22 R-MAT wcc 237s vs 16s at
+            # scale-20 purely from this skew once V left the state-broadcast
+            # regime). lab_min itself is <= #distinct-labels rows and
+            # shrinks geometrically, and a broadcast hash join is
+            # skew-immune, so hint it with its own (higher) cap.
+            lab_min = _skew_safe_hint(lab_min, G.number_of_vertices())
             new_labels = (
                 prop.join(lab_min, prop["label"] == lab_min["_lab"], "left")
                 .select(
@@ -147,7 +174,9 @@ def _max_coloring(
         new = (
             c.join(nbr, "vertex", "left")
             .join(
-                iterloop.hint_state_join(jump, n_hint),
+                # cid-keyed: color classes consolidate -> skewed key, see
+                # _skew_safe_hint (broadcast far past the state threshold)
+                _skew_safe_hint(jump, n_hint),
                 F.col("cid") == F.col("_jv"),
                 "left",
             )
