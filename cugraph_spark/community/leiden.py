@@ -77,6 +77,9 @@ def leiden(
     # vertex/community-sized state throughout -> small-state loop regime
     # (AQE off, few shuffle partitions) for the whole dendrogram walk
     n_level_edges = G.number_of_edges(directed_edges=True)
+    # total edge weight is contraction-invariant: one job serves every
+    # level's modularity computation
+    (two_m,) = iterloop.collect_scalars(edges, [F.sum("_w")])
     with iterloop.small_plan(
         G.edgelist.sparkSession,
         G.number_of_vertices(),
@@ -94,7 +97,7 @@ def leiden(
                 n_edges=n_level_edges,
             )
             assign = _split_disconnected(edges, assign)  # the Leiden guarantee
-            q = modularity_of(edges, assign, resolution)
+            q = modularity_of(edges, assign, resolution, two_m=two_m)
             mapping = iterloop.materialize(
                 mapping.join(
                     assign.select(F.col("vertex").alias("community"), F.col("community").alias("_n")),

@@ -70,15 +70,23 @@ _FRONTIER_BYPASS_FACTOR = 4
 _FRONTIER_MIN_EDGES = 5_000_000
 
 
-def modularity_of(edges: DataFrame, assign: DataFrame, resolution: float = 1.0) -> float:
+def modularity_of(
+    edges: DataFrame,
+    assign: DataFrame,
+    resolution: float = 1.0,
+    two_m: float | None = None,
+) -> float:
     """Q over a symmetrized weighted edge list and (vertex, community).
 
     Q = Σ_C [ Σ_in(C)/2m − γ·(σ_C/2m)² ] with Σ_in counting both
     directions of each intra-community edge (edges are symmetrized).
+    Pass ``two_m`` (total edge weight) when the caller already knows it
+    to skip one aggregation job.
     """
     e = edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
     e = e.join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
-    two_m = e.agg(F.sum("_w")).collect()[0][0]
+    if two_m is None:
+        two_m = e.agg(F.sum("_w")).collect()[0][0]
     if not two_m:
         return 0.0
     internal = (
@@ -291,7 +299,9 @@ def _one_level(
         iterloop.hint_state_join(canon, n_verts_hint), "community"
     ).select("vertex", F.col("_canon").alias("community"))
     assign = iterloop.materialize(assign)
-    q_final = modularity_of(edges, assign, resolution) if compute_q else None
+    q_final = (
+        modularity_of(edges, assign, resolution, two_m=two_m) if compute_q else None
+    )
     deg.unpersist()
     return assign, q_final
 
