@@ -206,6 +206,12 @@ class Graph:
                 )
             else:
                 edges = edges.dropDuplicates([SRC, DST])
+        # Cache co-partitioned AND co-sorted: InMemoryTableScan preserves
+        # the cached plan's partitioning and ordering, so above the
+        # state-broadcast threshold every per-round sort-merge join on src
+        # reuses this one build-time sort instead of re-sorting the edge
+        # table each iteration (bucketed-table semantics for the cache).
+        edges = edges.sortWithinPartitions(SRC, DST)
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         # Right-size the cached partitioning to the DATA, not the config:
         # iterative operators rescan this table every pass, and at small
@@ -227,7 +233,11 @@ class Graph:
         cores = spark_parallelism(df.sparkSession)
         ideal = max(ideal, max(1, cores // 4))
         if ideal < shuffle_parts // 2 or ideal > shuffle_parts * 2:
-            resized = edges.repartition(int(ideal), SRC).persist(StorageLevel.MEMORY_AND_DISK)
+            resized = (
+                edges.repartition(int(ideal), SRC)
+                .sortWithinPartitions(SRC, DST)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
             resized.count()
             edges.unpersist()
             edges = resized
