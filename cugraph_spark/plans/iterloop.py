@@ -110,10 +110,16 @@ def persist(df: DataFrame) -> DataFrame:
 
 
 # A (vertex-state) table below this row count is cheaper to broadcast to
-# every task than to shuffle-join against the cached edge table: ~32 MB at
-# 16 bytes/row, well within executor memory on any sane cluster. Above it,
-# the co-partitioned shuffle join is the scalable path.
-BROADCAST_STATE_MAX_ROWS = 2_000_000
+# every task than to shuffle-join against the cached edge table: ~128 MB
+# at 16 bytes/row, within executor memory on any sane cluster. Above it,
+# the co-partitioned (and co-sorted) shuffle join is the scalable path.
+# Measured at R-MAT scale-22 (2.4M vertices, 128M edges, warm arms of an
+# in-session A/B): wcc 67s broadcast vs 98s shuffle (the per-round
+# V-sized state re-shuffles disappear), pagerank within noise either
+# way — so the threshold sits above scale-22's vertex count. Earlier A/B
+# at 646k vertices showed dropping the threshold to 200k costs 30-80%,
+# i.e. broadcast keeps winning throughout the measurable range.
+BROADCAST_STATE_MAX_ROWS = 8_000_000
 
 
 @contextmanager
