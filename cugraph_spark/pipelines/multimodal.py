@@ -4,18 +4,27 @@ Beyond-reference (SURVEY §7 Phase 4). Binary payloads ride as opaque
 ``binary`` columns with typed metadata; decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are STUBBED — clearly marked below — behind a
-deterministic fake driven by the payload bytes, keeping every Spark-side
-contract real and testable: schemas, batch iteration, partitioning, and
-UDF signatures are exactly what a codec-backed deployment would use (swap
-``_decode_image_stub`` for a real decoder and nothing else changes).
+Decode support is tiered by what pure stdlib can do (no PIL/ffmpeg in
+this container):
+
+- REAL header decode (actual bytes parsing, exact dimensions): PNG,
+  JPEG (SOF marker walk), GIF, BMP, binary PPM/PGM;
+- REAL raster decode + pixel features (channel means / brightness
+  stats): uncompressed 24-bit BMP and binary PPM/PGM;
+- REAL audio decode via the stdlib ``wave`` module: PCM WAV channel
+  count / sample rate / duration plus RMS + zero-crossing features;
+- STUB (deterministic digest-driven fake, clearly marked): pixel data
+  of compressed codecs (JPEG/PNG/WEBP rasters, video frames). A codec
+  deployment swaps ``_feature_stub`` for a real decoder and nothing
+  else changes — schemas, batch iteration and partitioning are real.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+import struct
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -32,21 +41,148 @@ IMAGE_META_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def parse_image_header(b: bytes) -> Optional[tuple[int, int, str]]:
+    """REAL header parse for PNG / JPEG / GIF / BMP / PPM / PGM — exact
+    (width, height, format) from the actual bytes; None when the payload
+    is none of these."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h, "png"
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: walk to an SOF marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h, "jpeg"
+            i += 2 + seglen
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, "gif"
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return w, abs(h), "bmp"
+    if len(b) >= 2 and b[:2] in (b"P5", b"P6"):
+        try:
+            toks = _ppm_tokens(b, 3)
+            return int(toks[0]), int(toks[1]), "ppm" if b[:2] == b"P6" else "pgm"
+        except Exception:
+            return None
+    return None
+
+
+def _ppm_tokens(b: bytes, n: int) -> list[bytes]:
+    """First n whitespace-separated header tokens after the magic,
+    skipping '#' comments; also returns the offset where the raster
+    starts via the sentinel appended as the last element."""
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < n and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    toks.append(str(i + 1).encode())  # raster starts after ONE whitespace
+    return toks
+
+
+def decode_raster(b: bytes) -> Optional[tuple[int, int, bytes, int]]:
+    """REAL raster decode for uncompressed formats: returns (width,
+    height, rgb_bytes, n_channels) for binary PPM (P6) / PGM (P5) and
+    uncompressed 24-bit BMP; None for anything else."""
+    if b[:2] in (b"P5", b"P6"):
+        try:
+            toks = _ppm_tokens(b, 3)
+            w, h = int(toks[0]), int(toks[1])
+            off = int(toks[-1])
+            nch = 3 if b[:2] == b"P6" else 1
+            raster = b[off : off + w * h * nch]
+            if len(raster) == w * h * nch:
+                return w, h, raster, nch
+        except Exception:
+            return None
+        return None
+    if b[:2] == b"BM" and len(b) >= 54:
+        off = struct.unpack("<I", b[10:14])[0]
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        comp = struct.unpack("<I", b[30:34])[0]
+        if bpp == 24 and comp == 0:
+            row = (w * 3 + 3) & ~3  # 4-byte aligned rows
+            need = row * abs(h)
+            if len(b) >= off + need:
+                out = bytearray()
+                for r in range(abs(h)):
+                    src = off + (abs(h) - 1 - r if h > 0 else r) * row
+                    line = b[src : src + w * 3]
+                    for px in range(w):  # BGR -> RGB
+                        out += line[px * 3 + 2 : px * 3 + 3]
+                        out += line[px * 3 + 1 : px * 3 + 2]
+                        out += line[px * 3 : px * 3 + 1]
+                return w, abs(h), bytes(out), 3
+    return None
+
+
+def _pixel_feature(raster: bytes, nch: int, dim: int = 8) -> list[float]:
+    """REAL pixel statistics feature: per-channel means, brightness
+    mean/std/min/max, padded/truncated to dim."""
+    n = len(raster) // nch
+    if not n:
+        return [0.0] * dim
+    sums = [0] * nch
+    bright = []
+    for i in range(n):
+        px = raster[i * nch : (i + 1) * nch]
+        for c in range(nch):
+            sums[c] += px[c]
+        bright.append(sum(px) / nch)
+    mean_b = sum(bright) / n
+    var = sum((x - mean_b) ** 2 for x in bright) / n
+    feats = [s / n / 255.0 for s in sums]
+    feats += [mean_b / 255.0, var**0.5 / 255.0, min(bright) / 255.0, max(bright) / 255.0]
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return [round(float(x), 6) for x in feats]
+
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
-    """STUB: deterministic fake decode (no image libs in container).
-
-    A real deployment replaces this body with e.g. PIL.Image.open —
-    signature and caller stay identical. The fake derives (width, height,
-    format) from a stable digest of the bytes.
-    """
+    """STUB fallback for undecodable payloads: deterministic fake
+    (width, height, format) from a stable digest of the bytes. A codec
+    deployment replaces this with e.g. PIL.Image.open."""
     d = hashlib.md5(payload or b"").digest()
     return 16 + d[0] % 1024, 16 + d[1] % 1024, ["jpeg", "png", "webp"][d[2] % 3]
 
 
 def _feature_stub(payload: bytes, dim: int = 8) -> list[float]:
     """STUB: deterministic fake embedding from payload bytes (stands in
-    for a vision encoder)."""
+    for a vision encoder on compressed rasters)."""
     d = hashlib.sha256(payload or b"").digest()
     return [round(b / 255.0, 6) for b in d[:dim]]
 
@@ -55,14 +191,27 @@ def decode_images(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload", feature_dim: int = 8
 ) -> DataFrame:
     """binary payloads -> typed metadata + feature vector via Arrow-batched
-    mapInPandas (the real plumbing; decode kernel stubbed)."""
+    mapInPandas. Header metadata is REAL for PNG/JPEG/GIF/BMP/PPM; pixel
+    features are REAL for uncompressed rasters (PPM/PGM/24-bit BMP) and
+    digest-stubbed for compressed codecs (marked format unchanged)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h, fmt = _decode_image_stub(raw)
+                hdr = parse_image_header(raw)
+                if hdr is not None:
+                    w, h, fmt = hdr
+                else:
+                    w, h, fmt = _decode_image_stub(raw)
+                    fmt = fmt + "-stub"
+                ras = decode_raster(raw)
+                feat = (
+                    _pixel_feature(ras[2], ras[3], feature_dim)
+                    if ras is not None
+                    else _feature_stub(raw, feature_dim)
+                )
                 rows.append(
                     {
                         "media_id": int(mid),
@@ -70,12 +219,78 @@ def decode_images(
                         "height": h,
                         "format": fmt,
                         "n_bytes": len(raw),
-                        "feature": _feature_stub(raw, feature_dim),
+                        "feature": feat,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload", feature_dim: int = 8
+) -> DataFrame:
+    """binary payloads -> audio metadata + features via mapInPandas.
+    REAL for PCM WAV (stdlib ``wave``): channels, sample rate, duration,
+    RMS + zero-crossing-rate features over the first second; stubbed for
+    compressed audio (mp3/ogg...)."""
+    import wave
+
+    def wav_meta(raw: bytes):
+        try:
+            with wave.open(io.BytesIO(raw)) as wf:
+                nch, sw, rate, nframes = (
+                    wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes(),
+                )
+                frames = wf.readframes(min(nframes, rate))  # first second
+        except Exception:
+            return None
+        dur = nframes / rate if rate else 0.0
+        feats = [0.0] * feature_dim
+        if sw == 2 and frames:
+            vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+            mono = vals[::nch] if nch > 1 else vals
+            if mono:
+                n = len(mono)
+                rms = (sum(v * v for v in mono) / n) ** 0.5 / 32768.0
+                zcr = sum(
+                    1 for a, b2 in zip(mono, mono[1:]) if (a >= 0) != (b2 >= 0)
+                ) / max(n - 1, 1)
+                peak = max(abs(v) for v in mono) / 32768.0
+                mean = sum(mono) / n / 32768.0
+                feats = [rms, zcr, peak, mean, nch / 8.0, sw / 4.0, min(rate, 96000) / 96000.0, min(dur, 3600.0) / 3600.0]
+                feats = feats[:feature_dim] + [0.0] * max(0, feature_dim - len(feats))
+        return nch, rate, dur, [round(float(x), 6) for x in feats]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                meta = wav_meta(raw)
+                if meta is not None:
+                    nch, rate, dur, feats = meta
+                    fmt = "wav"
+                else:
+                    d = hashlib.md5(raw or b"").digest()
+                    nch, rate = 1 + d[0] % 2, [16000, 44100, 48000][d[1] % 3]
+                    dur = round(0.5 + d[2] / 16.0, 3)
+                    feats = _feature_stub(raw, feature_dim)
+                    fmt = "audio-stub"
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_channels": nch,
+                        "sample_rate": rate,
+                        "duration_s": float(dur),
+                        "format": fmt,
+                        "n_bytes": len(raw),
+                        "feature": feats,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
 def resize_images(df: DataFrame, max_side: int, width_col: str = "width", height_col: str = "height") -> DataFrame:

@@ -254,3 +254,71 @@ def test_decontaminate_planted(spark):
     assert out[11][0] is True and out[11][1] >= 1 and out[11][2] == 0
     assert out[10][0] is False and out[10][2] is None
     assert out[12][0] is False
+
+
+def test_multimodal_real_decoders(spark):
+    import io
+    import struct
+    import wave
+
+    from cugraph_spark.pipelines.multimodal import decode_audio, decode_images
+
+    # real PNG header (signature + IHDR): 320x200
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 320, 200) + b"\x08\x02\x00\x00\x00" + b"rest"
+    )
+    # real GIF header: 17x9
+    gif = b"GIF89a" + struct.pack("<HH", 17, 9) + b"\x00" * 8
+    # real JPEG with SOF0: 64x48
+    jpeg = (
+        b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 48, 64)
+        + b"\x03" + b"\x00" * 9 + b"\xff\xd9"
+    )
+    # real binary PPM 2x1: one red pixel, one white pixel
+    ppm = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 255, 255, 255])
+    # real 24-bit BMP 1x1: pure blue pixel (BGR on disk)
+    row = bytes([255, 0, 0]) + b"\x00"  # padded to 4 bytes
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(row), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, len(row), 0, 0, 0, 0)
+        + row
+    )
+    junk = b"not-an-image"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(jpeg)),
+         (4, bytearray(ppm)), (5, bytearray(bmp)), (6, bytearray(junk))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (320, 200, "png")
+    assert (got[2]["width"], got[2]["height"], got[2]["format"]) == (17, 9, "gif")
+    assert (got[3]["width"], got[3]["height"], got[3]["format"]) == (64, 48, "jpeg")
+    assert (got[4]["width"], got[4]["height"], got[4]["format"]) == (2, 1, "ppm")
+    assert (got[5]["width"], got[5]["height"], got[5]["format"]) == (1, 1, "bmp")
+    assert got[6]["format"].endswith("-stub")
+    # real pixel features: ppm mean R = (255+255)/2/255 = 1.0, mean G = 0.5
+    f4 = got[4]["feature"]
+    assert abs(f4[0] - 1.0) < 1e-5 and abs(f4[1] - 0.5) < 1e-5 and abs(f4[2] - 0.5) < 1e-5
+    # bmp decoded BGR->RGB: pure blue => R=0, G=0, B=1
+    f5 = got[5]["feature"]
+    assert abs(f5[0]) < 1e-5 and abs(f5[1]) < 1e-5 and abs(f5[2] - 1.0) < 1e-5
+
+    # real WAV: 0.5s of silence, 16-bit mono 8kHz
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 4000)
+    adf = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"mp3-ish-junk"))],
+        "media_id long, payload binary",
+    )
+    a = {r["media_id"]: r for r in decode_audio(adf).collect()}
+    assert a[1]["format"] == "wav"
+    assert a[1]["n_channels"] == 1 and a[1]["sample_rate"] == 8000
+    assert abs(a[1]["duration_s"] - 0.5) < 1e-9
+    assert a[1]["feature"][0] == 0.0  # RMS of silence
+    assert a[2]["format"] == "audio-stub"
