@@ -105,6 +105,7 @@ def __getattr__(name):
         "transpose_graph": ".structure.utils_ops",
         "edge_id_lookup": ".structure.utils_ops",
         "renumber_arbitrary_edgelist": ".structure.utils_ops",
+        "sample_groups": ".structure.utils_ops",
         "from_adjlist": ".structure.convert_matrix",
         "from_pandas_adjacency": ".structure.convert_matrix",
         "to_pandas_adjacency": ".structure.convert_matrix",

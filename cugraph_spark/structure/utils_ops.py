@@ -107,3 +107,27 @@ def renumber_arbitrary_edgelist(edges: DataFrame, mapping: DataFrame) -> DataFra
         .drop("_int")
     )
     return out
+
+
+def sample_groups(df: DataFrame, by: str, n_samples: int, seed: int = 42) -> DataFrame:
+    """Up to ``n_samples`` rows per ``by`` group (utilities/utils.py:398).
+
+    The reference shuffles then ranks within groups; here the shuffle is
+    a deterministic xxhash64 order over all columns (physical-layout
+    independence, the engine-wide PRNG policy), and the rank is a
+    windowed row_number — one shuffle on the group key. ``n_samples=-1``
+    returns the input unchanged, as the reference does.
+    """
+    if n_samples == -1:
+        return df
+    from pyspark.sql import Window
+
+    order = [F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))] + [
+        F.col(c) for c in df.columns
+    ]
+    w = Window.partitionBy(by).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_samples)
+        .drop("_rn")
+    )

@@ -163,3 +163,23 @@ def test_small_plan_toggles_and_restores_aqe(spark):
         with iterloop.small_plan(spark, 100):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_sample_groups(spark):
+    from cugraph_spark.structure.utils_ops import sample_groups
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b", "c") for i in range(10)], ["grp", "val"]
+    )
+    out = sample_groups(df, "grp", 3)
+    rows = out.collect()
+    assert len(rows) == 9
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["grp"], set()).add(r["val"])
+    assert all(len(v) == 3 for v in by_g.values())
+    # deterministic across invocations
+    again = {(r["grp"], r["val"]) for r in sample_groups(df, "grp", 3).collect()}
+    assert {(r["grp"], r["val"]) for r in rows} == again
+    # -1 keeps everything
+    assert sample_groups(df, "grp", -1).count() == 30
