@@ -1422,7 +1422,10 @@ und_edges AS MATERIALIZED (
 """
 
 
-def _betweenness_unrolled_sql(depth: int) -> str:
+def _brandes_cte_parts(depth: int) -> list[str]:
+    """Shared unrolled-Brandes CTE chain (forward sigma BFS + backward
+    dependency accumulation) ending at d0; used by both the vertex and
+    edge betweenness oracles."""
     parts = [
         f"WITH {NATION_FLOW_SQL.strip()},",
         f"{NATION_UND_SQL.strip()},",
@@ -1461,6 +1464,11 @@ def _betweenness_unrolled_sql(depth: int) -> str:
   ) c ON c.source = s.source AND c.vertex = s.vertex
 ),"""
         )
+    return parts
+
+
+def _betweenness_unrolled_sql(depth: int) -> str:
+    parts = _brandes_cte_parts(depth)
     parts.append(
         """bc AS MATERIALIZED (
   SELECT vertex, SUM(delta) AS raw FROM d0 WHERE vertex <> source GROUP BY vertex
@@ -1476,6 +1484,66 @@ SELECT vv.v AS vertex,
 FROM verts vv CROSS JOIN nv
 LEFT JOIN bc b ON vv.v = b.vertex
 """
+
+
+def _edge_betweenness_unrolled_sql(depth: int) -> str:
+    """Edge betweenness from the same chain: the per-edge term of the
+    backward accumulation, sigma_v/sigma_w*(1+delta_w) for edges (v->w)
+    with dist(v)=dist(w)-1, summed over levels and sources; undirected
+    rows combine both directions and the full value is reported on both
+    (centrality/betweenness_centrality.py:edge_betweenness_centrality)."""
+    parts = _brandes_cte_parts(depth)
+    lev_union = "\n  UNION ALL\n  ".join(
+        f"""SELECT w.source, e.src, e.dst,
+         v.sigma / w.sigma * (1 + w.delta) AS c
+    FROM und_edges e
+    JOIN d{d} w ON w.vertex = e.dst AND w.dist = {d}
+    JOIN d{d} v ON v.source = w.source AND v.vertex = e.src AND v.dist = {d - 1}"""
+        for d in range(depth, 0, -1)
+    )
+    parts.append(
+        f"""eb_raw AS MATERIALIZED (
+  SELECT src, dst, SUM(c) AS raw FROM (
+  {lev_union}
+  ) GROUP BY src, dst
+),
+eb_sym AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(raw) AS raw
+  FROM eb_raw GROUP BY 1, 2
+),
+nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)"""
+    )
+    body = "\n".join(parts) + "\n"
+    # undirected normalized: (n/k=1) * 0.5 * 2/(n(n-1)) = 1/(n(n-1))
+    return body + """
+SELECT e.src, e.dst,
+       ROUND(COALESCE(s.raw, 0) / (nv.n * (nv.n - 1)), 6) AS betweenness_centrality
+FROM und_edges e CROSS JOIN nv
+LEFT JOIN eb_sym s ON s.a = LEAST(e.src, e.dst) AND s.b = GREATEST(e.src, e.dst)
+"""
+
+
+@register("edge_betweenness_nation_und", oracle=_edge_betweenness_unrolled_sql(BC_DEPTH))
+def q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact normalized edge betweenness on the undirected nation graph:
+    each symmetrized row carries the full undirected edge value."""
+    from cugraph_spark import Graph
+    from cugraph_spark.centrality.betweenness_centrality import (
+        edge_betweenness_centrality,
+    )
+
+    und = (
+        nation_flow_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    g = Graph(directed=False)
+    g.from_edgelist(und, "src", "dst")
+    out = edge_betweenness_centrality(g, normalized=True)
+    return out.select(
+        "src", "dst", F.round("betweenness_centrality", 6).alias("betweenness_centrality")
+    )
 
 
 @register("betweenness_nation_und", oracle=_betweenness_unrolled_sql(BC_DEPTH))
