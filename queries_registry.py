@@ -377,6 +377,69 @@ LEFT JOIN preds p ON vv.v = p.v
 """
 
 
+def _msbfs_unrolled_sql(
+    edges_cte: str, edges_name: str, sources: list[int], depth: int
+) -> str:
+    """Multi-source variant of the unrolled BFS oracle: the per-source
+    frontier rides a ``source`` key column; reached pairs only, with the
+    same min-predecessor rule per (source, vertex)."""
+    seed = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS source, CAST({s} AS BIGINT) AS v, 0 AS dist"
+        for s in sources
+    )
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"m0 AS MATERIALIZED ({seed}),",
+    ]
+    for i in range(depth):
+        parts.append(
+            f"""m{i+1} AS MATERIALIZED (
+  SELECT source, v, MIN(dist) AS dist FROM (
+    SELECT source, v, dist FROM m{i}
+    UNION ALL
+    SELECT f.source, e.dst AS v, f.dist + 1 AS dist
+    FROM {edges_name} e JOIN m{i} f ON e.src = f.v
+    WHERE f.dist = {i}
+  ) GROUP BY source, v
+),"""
+        )
+    last = f"m{depth}"
+    parts.append(
+        f"""mpreds AS MATERIALIZED (
+  SELECT du.source, e.dst AS v, MIN(e.src) AS pred
+  FROM {edges_name} e
+  JOIN {last} du ON e.src = du.v
+  JOIN {last} dv ON e.dst = dv.v AND dv.source = du.source
+  WHERE du.dist = dv.dist - 1
+  GROUP BY du.source, e.dst
+)"""
+    )
+    body = "\n".join(parts) + "\n"
+    return body + f"""
+SELECT r.source, r.v AS vertex,
+       CAST(r.dist AS INTEGER) AS distance,
+       CAST(CASE WHEN r.dist = 0 THEN -1 ELSE COALESCE(p.pred, -1) END AS BIGINT) AS predecessor
+FROM {last} r
+LEFT JOIN mpreds p ON p.source = r.source AND p.v = r.v
+"""
+
+
+MSBFS_SOURCES = [1, 2, 3]
+
+
+@register(
+    "msbfs_cust_supp",
+    oracle=_msbfs_unrolled_sql(CUST_SUPP_SQL, "cs_edges", MSBFS_SOURCES, BFS_DEPTH),
+)
+def q_msbfs_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent BFS from three customer sources (SURVEY §2.B
+    multi_source_bfs): all sources advance in the same per-level jobs."""
+    from cugraph_spark import multi_source_bfs
+
+    g = cust_supp_graph(spark, sf_dir)
+    return multi_source_bfs(g, MSBFS_SOURCES, depth_limit=BFS_DEPTH)
+
+
 @register(
     "bfs_cust_supp",
     oracle=_bfs_unrolled_sql(CUST_SUPP_SQL, "cs_edges", 1, BFS_DEPTH),
