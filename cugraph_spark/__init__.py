@@ -149,6 +149,8 @@ def __getattr__(name):
         "quality_scores": ".pipelines.text",
         "language_id": ".pipelines.text",
         "document_fingerprints": ".pipelines.text",
+        "repetition_scores": ".pipelines.text",
+        "redact_pii": ".pipelines.text",
     }
     if name in lazy:
         mod = importlib.import_module(lazy[name], __name__)

@@ -93,6 +93,126 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _occurrence_stats(arr, weighted: bool = False):
+    """Struct(total, best, dup) over the multiset ``arr``:
+
+    - total: number of elements (or total chars when ``weighted``)
+    - best:  occurrence count of the most frequent element
+    - dup:   elements (or chars) belonging to values occurring > 1 time
+
+    Linear per row: sort the array, then a single ``F.aggregate`` pass
+    accumulates run lengths — no explode/groupBy shuffle, so at 100 TB
+    this is pure map-side work inside whole-stage codegen.
+    """
+    sorted_a = F.sort_array(arr)
+    w = (lambda x: F.length(x)) if weighted else (lambda x: F.lit(1))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+        F.lit(0).alias("total"),
+    )
+
+    def step(acc, x):
+        is_rep = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(is_rep, acc["run"] + 1).otherwise(F.lit(1))
+        # a run reaching 2 retroactively counts its first occurrence too
+        dup = acc["dup"] + F.when(
+            is_rep, F.when(acc["run"] == 1, w(x) + w(x)).otherwise(w(x))
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            dup.alias("dup"),
+            (acc["total"] + w(x)).alias("total"),
+        )
+
+    st = F.aggregate(sorted_a, zero, step)
+    return F.struct(
+        st["total"].alias("total"), st["best"].alias("best"), st["dup"].alias("dup")
+    )
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Non-distinct word n-gram list (same tokenization/slice semantics as
+    dedup.shingles: docs shorter than n yield one partial gram)."""
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split(lower(trim({text_col})),"
+        f" '\\\\s+')) - {n}, 0)),"
+        f" i -> array_join(slice(split(lower(trim({text_col})), '\\\\s+'), i + 1, {n}), ' '))"
+    )
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", top_n: int = 2, dup_n: int = 5
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training Gopher",
+    Appendix A1.1 — public paper). Adds:
+
+    - ``n_lines``: non-empty (post-trim) line count
+    - ``dup_line_frac``: fraction of line occurrences whose line value
+      occurs more than once in the document
+    - ``dup_line_char_frac``: same, weighted by line length in chars
+    - ``top_ngram_frac``: occurrences of the most frequent word
+      ``top_n``-gram / total ``top_n``-gram occurrences
+    - ``dup_ngram_frac``: fraction of word ``dup_n``-gram occurrences
+      belonging to grams occurring more than once
+
+    Documents exceeding thresholds (e.g. dup_line_frac > 0.30,
+    top_ngram_frac > 0.20) are boilerplate/spam candidates. All columns
+    are deterministic JVM expressions with exact DuckDB equivalents.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    lstats = _occurrence_stats(lines)
+    lcstats = _occurrence_stats(lines, weighted=True)
+    tstats = _occurrence_stats(_word_ngrams(text_col, top_n))
+    dstats = _occurrence_stats(_word_ngrams(text_col, dup_n))
+
+    def frac(num, den):
+        return F.round(num / F.greatest(den, F.lit(1)), 6)
+
+    return (
+        df.withColumn("n_lines", lstats["total"])
+        .withColumn("dup_line_frac", frac(lstats["dup"], lstats["total"]))
+        .withColumn("dup_line_char_frac", frac(lcstats["dup"], lcstats["total"]))
+        .withColumn("top_ngram_frac", frac(tstats["best"], tstats["total"]))
+        .withColumn("dup_ngram_frac", frac(dstats["dup"], dstats["total"]))
+    )
+
+
+# PII patterns kept to constructs shared by Java regex and RE2 (DuckDB):
+# no lookaround, no backreferences. Order matters: emails first (an email
+# contains digit runs a later pattern could clip).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replaces emails / IPv4s / phone-shaped digit runs with placeholder
+    tokens and adds per-kind match counts (``n_email``, ``n_ip``,
+    ``n_phone``). A standard pre-training scrub step; pure
+    ``regexp_replace`` / ``regexp_extract_all`` column expressions —
+    shuffle-free, whole-stage-codegen, exact DuckDB equivalents."""
+    out = df
+    redacted = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0)),
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn(f"{text_col}_redacted", redacted)
+
+
 def document_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5, keep: int = 4
 ) -> DataFrame:

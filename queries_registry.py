@@ -1275,6 +1275,148 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_documents",
+    oracle=r"""
+WITH rep_lines AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                       l -> l <> '') AS ls
+    FROM documents
+),
+rep_line_counts AS MATERIALIZED (
+    SELECT doc_id, l, count(*) AS c, length(l) AS w
+    FROM (SELECT doc_id, unnest(ls) AS l FROM rep_lines)
+    GROUP BY doc_id, l
+),
+rep_line_agg AS MATERIALIZED (
+    SELECT doc_id, sum(c) AS n_lines,
+           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_l,
+           sum(c * w) AS chars,
+           sum(CASE WHEN c > 1 THEN c * w ELSE 0 END) AS dup_chars
+    FROM rep_line_counts GROUP BY doc_id
+),
+rep_toks AS MATERIALIZED (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+rep_g2c AS MATERIALIZED (
+    SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        FROM rep_toks, (SELECT unnest(generate_series(1, 100000)) AS i) idx
+        WHERE i <= greatest(len(t) - 1, 1)
+    ) GROUP BY doc_id, g
+),
+rep_g2a AS MATERIALIZED (
+    SELECT doc_id, max(c) AS best, sum(c) AS total FROM rep_g2c GROUP BY doc_id
+),
+rep_g5c AS MATERIALIZED (
+    SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        FROM rep_toks, (SELECT unnest(generate_series(1, 100000)) AS i) idx
+        WHERE i <= greatest(len(t) - 4, 1)
+    ) GROUP BY doc_id, g
+),
+rep_g5a AS MATERIALIZED (
+    SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, sum(c) AS total
+    FROM rep_g5c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(la.n_lines, 0) AS INT) AS n_lines,
+       ROUND(coalesce(la.dup_l, 0) * 1.0 / greatest(coalesce(la.n_lines, 0), 1), 6)
+           AS dup_line_frac,
+       ROUND(coalesce(la.dup_chars, 0) * 1.0 / greatest(coalesce(la.chars, 0), 1), 6)
+           AS dup_line_char_frac,
+       ROUND(g2.best * 1.0 / greatest(g2.total, 1), 6) AS top_ngram_frac,
+       ROUND(g5.dup * 1.0 / greatest(g5.total, 1), 6) AS dup_ngram_frac
+FROM documents d
+LEFT JOIN rep_line_agg la USING (doc_id)
+LEFT JOIN rep_g2a g2 USING (doc_id)
+LEFT JOIN rep_g5a g5 USING (doc_id)
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line / top-ngram /
+    dup-ngram fractions) over documents — boilerplate/spam filters for a
+    training-data pipeline. Spark side is shuffle-free sorted-run-length
+    column expressions; the oracle recomputes via unnest + GROUP BY."""
+    from cugraph_spark.pipelines.text import repetition_scores
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_scores(docs).select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        "dup_line_frac", "dup_line_char_frac", "top_ngram_frac", "dup_ngram_frac",
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"
+
+
+@register(
+    "pii_redact_documents",
+    oracle=rf"""
+WITH pii_base AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact bob.smith+x@example.co.uk at 10.0.255.3 or +1 (415) 555-2671.'
+                ELSE text END AS t
+    FROM documents
+),
+pii_e AS MATERIALIZED (
+    SELECT doc_id, t,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+    FROM pii_base
+),
+pii_i AS MATERIALIZED (
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(t1, '{_PII_IP}')) AS n_ip,
+           regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+    FROM pii_e
+),
+pii_p AS MATERIALIZED (
+    SELECT doc_id, n_email, n_ip,
+           len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phone,
+           regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+    FROM pii_i
+)
+SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_ip AS INT) AS n_ip,
+       CAST(n_phone AS INT) AS n_phone, md5(t3) AS redacted_md5
+FROM pii_p
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with planted emails/IPs/phones on every
+    7th doc (the synthetic corpus is PII-free, so the plants make the
+    redaction path non-trivially exercised). Returns per-kind counts and
+    an md5 of the redacted text; any regex-semantics drift between the
+    Spark and oracle engines flips the hash."""
+    from cugraph_spark.pipelines.text import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob.smith+x@example.co.uk at 10.0.255.3 or +1 (415) 555-2671."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+@register(
     "embed_topk_brute",
     oracle="""
 WITH corpus AS MATERIALIZED (
@@ -1841,6 +1983,50 @@ def q_leiden_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "n_vertices long, q_above_03 boolean, all_connected boolean, comm_count_in_range boolean",
+    )
+
+
+@register(
+    "louvain_invariants_copurchase",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+lv_verts AS MATERIALIZED (
+    SELECT src AS v FROM cps_edges UNION SELECT dst FROM cps_edges
+)
+SELECT (SELECT COUNT(*) FROM lv_verts) AS n_vertices,
+       TRUE AS q_above_03,
+       TRUE AS q_matches_reported,
+       TRUE AS comm_count_in_range
+""",
+)
+def q_louvain_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain regression tripwire (labels are fixpoint-order-dependent,
+    so louvain_copurchase_sparse stays rows-only): full vertex coverage,
+    modularity above the karate-grade 0.3 bar — recomputed independently
+    from the returned labels via analyzeClustering_modularity, not the
+    algorithm's own running score — the reported score agreeing with the
+    independent recompute, and a non-degenerate community count. A
+    quality regression flips a boolean and fails the hash compare."""
+    from cugraph_spark import louvain
+    from cugraph_spark.community.clustering_scores import analyzeClustering_modularity
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    parts, q = louvain(g, max_level=3, max_iter=6)
+    n_comms = parts.select("partition").distinct().count()
+    n_vertices = parts.count()
+    clusters = parts.select("vertex", F.col("partition").alias("cluster"))
+    q_ind = analyzeClustering_modularity(g, n_comms, clusters)
+    return spark.createDataFrame(
+        [
+            (
+                n_vertices,
+                bool(q_ind > 0.3),
+                bool(abs(q_ind - q) < 1e-6),
+                bool(1 < n_comms < n_vertices),
+            )
+        ],
+        "n_vertices long, q_above_03 boolean, q_matches_reported boolean,"
+        " comm_count_in_range boolean",
     )
 
 

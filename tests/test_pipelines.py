@@ -23,6 +23,8 @@ from cugraph_spark.pipelines.text import (
     quality_scores,
     language_id,
     document_fingerprints,
+    repetition_scores,
+    redact_pii,
 )
 from cugraph_spark.pipelines.multimodal import (
     decode_images,
@@ -175,6 +177,46 @@ def test_document_fingerprints(docs):
     fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprints(docs, k=3).collect()}
     assert fp[1] == fp[2]
     assert fp[1] != fp[4]
+
+
+def test_repetition_scores(spark):
+    rows = [
+        (1, "a b\na b\nc d e"),      # dup line, repeated bigram
+        (2, "x y x y x y x y"),      # heavy n-gram repetition
+        (3, ""),                      # empty doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    # "a b" twice = 6 chars duplicated of 11 total line chars
+    assert r1["dup_line_char_frac"] == pytest.approx(6 / 11, abs=1e-6)
+    # bigrams of [a b a b c d e]: "a b" x2 of 6 total
+    assert r1["top_ngram_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r1["dup_ngram_frac"] == 0.0  # all 5-grams distinct
+    r2 = out[2]
+    assert r2["n_lines"] == 1 and r2["dup_line_frac"] == 0.0
+    assert r2["top_ngram_frac"] == pytest.approx(4 / 7, abs=1e-6)  # "x y" x4 of 7
+    assert r2["dup_ngram_frac"] == 1.0  # every 5-gram occurs twice
+    r3 = out[3]
+    assert r3["n_lines"] == 0 and r3["dup_line_frac"] == 0.0
+    assert r3["dup_ngram_frac"] == 0.0
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail a.b@x.io or c@y.org, ip 1.2.3.4, call +1 415-555-2671 now"),
+        (2, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ip"], r1["n_phone"]) == (2, 1, 1)
+    assert r1["text_redacted"] == "mail <EMAIL> or <EMAIL>, ip <IP>, call +<PHONE> now"
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["text_redacted"] == "clean text"
 
 
 def test_multimodal_stub_pipeline(spark):
