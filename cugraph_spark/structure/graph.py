@@ -503,6 +503,41 @@ class Graph:
         )
         return self.unrenumber(out, "vertex")
 
+    def _restore(self, edges: DataFrame, vertices: DataFrame,
+                 vertex_map: Optional[DataFrame], meta: dict) -> "Graph":
+        """Adopt a pre-built edge table written by ``sources.save_graph``
+        without re-running renumber/symmetrize/dedup — the build shuffle
+        is paid once at save time, not per session. Repartitions by src
+        (data-sized, cores/4 floor — same rule as from_edgelist) to
+        restore the co-located/co-sorted cache contract every iterative
+        operator relies on."""
+        from pyspark.sql import types as T
+
+        p = self.properties
+        for k in ("multi_edge", "renumbered", "symmetrized", "weighted",
+                  "node_count", "edge_count", "store_transposed"):
+            setattr(p, k, meta[k])
+        spark = edges.sparkSession
+        n_rows = meta["edge_count"] or edges.count()
+        row_bytes = 8 * len(edges.columns) + 16
+        ideal = max(1, -(-n_rows * row_bytes // _EDGE_PARTITION_TARGET_BYTES))
+        ideal = max(ideal, max(1, spark_parallelism(spark) // 4))
+        self._edges = (
+            edges.repartition(int(ideal), SRC)
+            .sortWithinPartitions(SRC, DST)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
+        ext_types = [T._parse_datatype_string(s) for s in meta["external_types"]]
+        self._nm = NumberMap(
+            map_df=vertex_map,
+            external_cols=meta["external_cols"],
+            external_types=ext_types,
+            identity=meta["identity"],
+        )
+        self._spark = spark
+        return self
+
     def to_directed(self) -> "Graph":
         g = Graph(directed=True)
         g._edges, g._nm, g._vertices, g._spark = self._edges, self._nm, self._vertices, self._spark

@@ -1,0 +1,96 @@
+"""Sources/sinks: edge-list readers (csv/parquet/mtx) and the parquet
+graph container (save_graph/load_graph round trip)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cugraph_spark import Graph
+from cugraph_spark.sources import (
+    read_edgelist,
+    read_mtx,
+    write_edgelist,
+    save_graph,
+    load_graph,
+)
+
+EDGES = [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 3.0), (2, 3, 0.5)]
+
+
+def test_read_edgelist_csv_headerless(spark, tmp_path):
+    p = tmp_path / "el.csv"
+    p.write_text("# comment\n" + "\n".join(f"{s},{d},{w}" for s, d, w in EDGES) + "\n")
+    df = read_edgelist(spark, str(p), fmt="csv", weight="weight")
+    rows = {(r["src"], r["dst"], r["weight"]) for r in df.collect()}
+    assert rows == set(EDGES)
+    assert df.columns == ["src", "dst", "weight"]
+
+
+def test_read_edgelist_parquet_named_cols(spark, tmp_path):
+    p = str(tmp_path / "el_parquet")
+    spark.createDataFrame(EDGES, ["a", "b", "w"]).write.parquet(p)
+    df = read_edgelist(spark, p, fmt="parquet", source="a", destination="b", weight="w")
+    assert {(r["src"], r["dst"], r["weight"]) for r in df.collect()} == set(EDGES)
+
+
+def test_read_mtx(spark, tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% a comment\n"
+        "4 4 4\n"
+        "1 2 1.0\n2 3 2.0\n3 1 3.0\n3 4 0.5\n"
+    )
+    df = read_mtx(spark, str(p))
+    assert {(r["src"], r["dst"], r["weight"]) for r in df.collect()} == set(EDGES)
+
+
+def test_read_mtx_pattern_no_weight(spark, tmp_path):
+    p = tmp_path / "p.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate pattern general\n3 3 2\n1 2\n2 3\n")
+    df = read_mtx(spark, str(p))
+    assert df.columns == ["src", "dst"]
+    assert {(r["src"], r["dst"]) for r in df.collect()} == {(0, 1), (1, 2)}
+
+
+def test_write_edgelist_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "sink")
+    df = spark.createDataFrame(EDGES, ["src", "dst", "weight"])
+    write_edgelist(df, p, fmt="parquet")
+    back = spark.read.parquet(p)
+    assert {(r["src"], r["dst"], r["weight"]) for r in back.collect()} == set(EDGES)
+
+
+def test_save_load_graph_roundtrip(spark, tmp_path):
+    from cugraph_spark import pagerank
+
+    df = spark.createDataFrame(EDGES, ["src", "dst", "weight"])
+    g = Graph(directed=True)
+    g.from_edgelist(df, "src", "dst", weight="weight")
+    p = str(tmp_path / "graph")
+    save_graph(g, p)
+
+    g2 = load_graph(spark, p)
+    assert g2.is_directed() == g.is_directed()
+    assert g2.number_of_vertices() == g.number_of_vertices()
+    assert g2.number_of_edges() == g.number_of_edges()
+    pr1 = {r["vertex"]: r["pagerank"] for r in pagerank(g, max_iter=60).collect()}
+    pr2 = {r["vertex"]: r["pagerank"] for r in pagerank(g2, max_iter=60).collect()}
+    assert pr1.keys() == pr2.keys()
+    for v in pr1:
+        assert pr1[v] == pytest.approx(pr2[v], abs=1e-9)
+
+
+def test_save_load_graph_string_ids(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    g = Graph(directed=False)
+    g.from_edgelist(df, "src", "dst")
+    p = str(tmp_path / "graph_str")
+    save_graph(g, p)
+    g2 = load_graph(spark, p)
+    assert g2.is_renumbered()
+    nodes = {r[0] for r in g2.nodes().collect()}
+    assert nodes == {"a", "b", "c"}
+    deg = {r["vertex"]: r["degree"] for r in g2.degree().collect()}
+    assert deg == {"a": 2, "b": 2, "c": 2}
