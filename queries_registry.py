@@ -2433,6 +2433,68 @@ def q_force_atlas2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.select("vertex", F.round("x", 4).alias("x"), F.round("y", 4).alias("y"))
 
 
+@register(
+    "fa2_invariants_nation",
+    oracle=f"""
+WITH {NATION_FLOW_SQL.strip()},
+fa_verts AS MATERIALIZED (
+    SELECT DISTINCT src AS v FROM nf_edges UNION SELECT DISTINCT dst FROM nf_edges
+)
+SELECT (SELECT COUNT(*) FROM fa_verts) AS n_vertices,
+       TRUE AS all_finite,
+       TRUE AS deterministic,
+       TRUE AS no_overlap
+""",
+)
+def q_fa2_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """force_atlas2 regression tripwire (coordinates themselves are
+    float-trajectory-dependent, so force_atlas2_nation stays rows-only):
+    full vertex coverage, every coordinate finite, bit-identical output
+    across two runs (the layout draws all randomness from seeded
+    xxhash64), and — with prevent_overlapping + unit radii — no final
+    pair closer than the radii sum minus float slack."""
+    from cugraph_spark import force_atlas2
+    from cugraph_spark.structure.graph import Graph
+
+    e = nation_flow_edges(spark, sf_dir)
+    g = Graph(directed=True)
+    g.from_edgelist(e, "src", "dst", weight="weight")
+    radii = g.nodes().select(F.col("vertex"), F.lit(1.0).alias("radius"))
+    kw = dict(
+        max_iter=8,
+        barnes_hut_optimize=False,
+        prevent_overlapping=True,
+        vertex_radius=radii,
+    )
+    p1 = force_atlas2(g, **kw).persist()
+    p2 = force_atlas2(g, **kw)
+    n_vertices = p1.count()
+    finite = (
+        p1.filter(F.isnan("x") | F.isnan("y") | ~F.col("x").between(-1e12, 1e12)
+                  | ~F.col("y").between(-1e12, 1e12)).count() == 0
+    )
+    diff = (
+        p1.join(p2.select("vertex", F.col("x").alias("x2"), F.col("y").alias("y2")), "vertex")
+        .filter((F.col("x") != F.col("x2")) | (F.col("y") != F.col("y2")))
+        .count()
+    )
+    a = p1.select(F.col("vertex").alias("va"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = p1.select(F.col("vertex").alias("vb"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    overlaps = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .filter(
+            F.sqrt(F.pow(F.col("xa") - F.col("xb"), 2) + F.pow(F.col("ya") - F.col("yb"), 2))
+            < F.lit(2.0 - 1e-6)
+        )
+        .count()
+    )
+    p1.unpersist()
+    return spark.createDataFrame(
+        [(n_vertices, bool(finite), bool(diff == 0), bool(overlaps == 0))],
+        "n_vertices long, all_finite boolean, deterministic boolean, no_overlap boolean",
+    )
+
+
 BICLIQUE_SUPPORT = 0.8
 BICLIQUE_MIN_M = 20
 BICLIQUE_MIN_F = 1
