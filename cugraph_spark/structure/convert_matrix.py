@@ -114,3 +114,7 @@ def to_numpy_array(G: Graph):
 # older matrix aliases kept for API parity
 from_numpy_matrix = from_numpy_array
 to_numpy_matrix = to_numpy_array
+
+# reference dispatch alias (convert_matrix.py:187): with Spark DataFrames
+# there is only one input kind, so from_cudf_edgelist == from_edgelist
+from_cudf_edgelist = from_edgelist

@@ -420,6 +420,15 @@ class Graph:
     def is_renumbered(self) -> bool:
         return self.properties.renumbered
 
+    def is_bipartite(self) -> bool:
+        """Relies solely on add_nodes_from(bipartite=...) bookkeeping, like
+        the reference (graph_classes.py:663: no structural check)."""
+        return False
+
+    def is_multipartite(self) -> bool:
+        """graph_classes.py:674 — bookkeeping only, no structural check."""
+        return False
+
     def has_self_loop(self) -> bool:
         if self.properties.self_loop is None:
             self.properties.self_loop = (
@@ -574,18 +583,54 @@ class Tree(Graph):
     """graph_classes.py:867 — thin subclass."""
 
 
-class BiPartiteGraph(Graph):
-    """graph_classes.py:1045 — vertex partition sets tracked via a column."""
+class NPartiteGraph(Graph):
+    """graph_classes.py:877 — n vertex partition sets tracked via
+    ``add_nodes_from(nodes, partition=...)``."""
 
     def __init__(self, directed: bool = False):
         super().__init__(directed=directed)
         self._partitions: dict[str, DataFrame] = {}
 
-    def add_nodes_from(self, nodes: DataFrame, bipartite: str):
-        self._partitions[bipartite] = nodes
+    def add_nodes_from(self, nodes: DataFrame, partition: str):
+        self._partitions[partition] = nodes
 
     def sets(self):
         return self._partitions
+
+    def is_multipartite(self) -> bool:
+        return True
+
+
+class BiPartiteGraph(NPartiteGraph):
+    """graph_classes.py:1045 — vertex partition sets tracked via a column."""
+
+    def add_nodes_from(self, nodes: DataFrame, bipartite: str):
+        self._partitions[bipartite] = nodes
+
+    def is_bipartite(self) -> bool:
+        return True
+
+
+def is_directed(G: Graph) -> bool:
+    """Module-level form (reference exports these at top level alongside
+    the Graph methods)."""
+    return G.is_directed()
+
+
+def is_multigraph(G: Graph) -> bool:
+    return G.is_multigraph()
+
+
+def is_weighted(G: Graph) -> bool:
+    return G.is_weighted()
+
+
+def is_bipartite(G: Graph) -> bool:
+    return G.is_bipartite()
+
+
+def is_multipartite(G: Graph) -> bool:
+    return G.is_multipartite()
 
 
 def select_random_vertices(G: Graph, random_state: int, num_vertices: int) -> DataFrame:

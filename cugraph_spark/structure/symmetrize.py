@@ -67,3 +67,8 @@ def symmetrize_df(
         aggs = [F.min(c).alias(c) for c in others]
         return both.groupBy(SRC, DST).agg(*aggs)
     return both.dropDuplicates([SRC, DST])
+
+
+# reference dask alias (structure/symmetrize.py symmetrize_ddf): Spark
+# DataFrames are always distributed, so the ddf form is the df form
+symmetrize_ddf = symmetrize_df
