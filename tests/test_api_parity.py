@@ -42,3 +42,24 @@ def test_graph_class_predicates(spark):
     assert is_bipartite(b) and is_multipartite(b)
     n = NPartiteGraph()
     assert is_multipartite(n) and not is_bipartite(n)
+
+
+def test_dask_namespace_parity():
+    """Every algorithm the reference exports from cugraph.dask resolves
+    on cugraph_spark.dask (to the already-distributed base impl)."""
+    import cugraph_spark.dask as csd
+
+    tree = ast.parse(
+        open("/root/reference/python/cugraph/cugraph/dask/__init__.py").read()
+    )
+    names = {
+        a.asname or a.name
+        for node in ast.walk(tree)
+        if isinstance(node, ast.ImportFrom)
+        for a in node.names
+    }
+    missing = sorted(n for n in names if not hasattr(csd, n))
+    assert missing == [], f"cugraph.dask exports missing: {missing}"
+    import cugraph_spark
+
+    assert csd.pagerank is cugraph_spark.pagerank
