@@ -176,6 +176,7 @@ def betweenness_centrality(
     weight=None,
     endpoints: bool = False,
     seed: Optional[int] = None,
+    result_dtype=None,
     random_state: Optional[int] = None,
 ) -> DataFrame:
     """Returns (vertex, betweenness_centrality). Unweighted-BFS Brandes,
@@ -190,6 +191,7 @@ def betweenness_centrality(
     sample sources at scale (estimate quality grows with k)."""
     if weight is not None:
         raise NotImplementedError("weighted betweenness is not supported (reference parity)")
+    out_type = _validate_result_dtype(result_dtype)
     bc, _, n, n_sources = _brandes(
         G, k, seed if seed is not None else random_state, False, endpoints
     )
@@ -198,10 +200,24 @@ def betweenness_centrality(
         G.vertices_internal.join(bc, "vertex", "left")
         .select(
             "vertex",
-            (F.coalesce("_bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness_centrality"),
+            (F.coalesce("_bc", F.lit(0.0)) * F.lit(scale))
+            .cast(out_type)
+            .alias("betweenness_centrality"),
         )
     )
     return G.unrenumber(out, "vertex")
+
+
+def _validate_result_dtype(result_dtype) -> str:
+    """Reference: betweenness_centrality.py:135 — result_dtype must be
+    np.float32 or np.float64 (default). Maps to the Spark column type."""
+    import numpy as np
+
+    if result_dtype in (None, np.float64, "float64", float):
+        return "double"
+    if result_dtype in (np.float32, "float32"):
+        return "float"
+    raise TypeError("result type can only be np.float32 or np.float64")
 
 
 def edge_betweenness_centrality(
@@ -210,11 +226,13 @@ def edge_betweenness_centrality(
     normalized: bool = True,
     weight=None,
     seed: Optional[int] = None,
+    result_dtype=None,
 ) -> DataFrame:
     """Returns (src, dst, betweenness_centrality) per directed edge row
     (symmetrized rows for undirected graphs, as the reference does)."""
     if weight is not None:
         raise NotImplementedError("weighted betweenness is not supported (reference parity)")
+    out_type = _validate_result_dtype(result_dtype)
     _, ebc, n, n_sources = _brandes(G, k, seed, True)
     base = G.edgelist.select(SRC, DST).distinct()
     if not G.is_directed():
@@ -234,7 +252,10 @@ def edge_betweenness_centrality(
     else:
         scale = _rescale(n, n_sources, normalized, True, True)
     out = base.join(ebc, [SRC, DST], "left").select(
-        SRC, DST, (F.coalesce("_bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness_centrality")
+        SRC, DST,
+        (F.coalesce("_bc", F.lit(0.0)) * F.lit(scale))
+        .cast(out_type)
+        .alias("betweenness_centrality"),
     )
     out = G.unrenumber(out, SRC)
     return G.unrenumber(out, DST)

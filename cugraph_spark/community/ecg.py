@@ -29,12 +29,21 @@ def ecg(
     threshold: float = 1e-7,
     resolution: float = 1.0,
     random_state: int = 42,
+    weight: str | None = None,
 ) -> tuple[DataFrame, float]:
-    """Returns ((vertex, partition), modularity_score)."""
+    """Returns ((vertex, partition), modularity_score). ``weight`` names
+    an edge column to use (reference ecg.py:18); weights are already
+    canonicalized to ``weight`` at graph construction, so any other
+    existing column is selected here."""
     G = input_graph
     if G.is_directed():
         raise ValueError("input graph must be undirected")
-    w = F.col(WEIGHT) if G.is_weighted() else F.lit(1.0)
+    if weight is not None and weight not in G.edgelist.columns:
+        raise ValueError(f"weight column {weight!r} not on the edge list")
+    if weight is not None:
+        w = F.col(weight).cast("double")
+    else:
+        w = F.col(WEIGHT) if G.is_weighted() else F.lit(1.0)
     base = iterloop.materialize(G.edgelist.select(SRC, DST, w.alias("_w")))
 
     votes = base.select(SRC, DST, F.lit(0).alias("_votes"))

@@ -13,8 +13,11 @@ from ..traversal.bfs import bfs, INT_MAX
 from .induced_subgraph import induced_subgraph
 
 
-def ego_graph(G: Graph, n, radius: int = 1, center: bool = True) -> Graph:
-    """Returns the ego net of vertex (or vertices) ``n`` as a Graph."""
+def ego_graph(G: Graph, n, radius: int = 1, center: bool = True,
+              undirected=None, distance=None) -> Graph:
+    """Returns the ego net of vertex (or vertices) ``n`` as a Graph.
+    ``undirected``/``distance`` are NetworkX-compat and ignored, exactly
+    as the reference documents (egonet.py:44-47)."""
     res = bfs(G, n, depth_limit=radius)
     reached = res.filter(F.col("distance") != INT_MAX).select("vertex")
     if not center:

@@ -35,8 +35,10 @@ def _edge_support(und: DataFrame) -> DataFrame:
     )
 
 
-def ktruss_subgraph(G: Graph, k: int) -> Graph:
-    """Returns the k-truss as a Graph (undirected input only)."""
+def ktruss_subgraph(G: Graph, k: int, use_weights: bool = True) -> Graph:
+    """Returns the k-truss as a Graph (undirected input only).
+    ``use_weights`` is deprecated in the reference (ktruss_subgraph.py:53)
+    and ignored there too."""
     if G.is_directed():
         raise ValueError("input graph must be undirected")
     if k < 3:
@@ -77,8 +79,9 @@ def ktruss_subgraph(G: Graph, k: int) -> Graph:
 
 
 def k_truss(G: Graph, k: int) -> Graph:
-    """community/ktruss_subgraph.py:11 — top-level alias."""
-    return ktruss_subgraph(G, k)
+    """community/ktruss_subgraph.py:11 — top-level alias (the reference
+    passes use_weights=False here; both values are no-ops)."""
+    return ktruss_subgraph(G, k, use_weights=False)
 
 
 def k_truss_edges(G: Graph, k: int) -> DataFrame:

@@ -200,9 +200,14 @@ def spectralBalancedCutClustering(
     kmean_tolerance: float = 1e-5,
     kmean_max_iter: int = 100,
     seed: int = 42,
+    random_state: Optional[int] = None,
 ) -> DataFrame:
     """Returns (vertex, cluster). Lanczos eigenvectors of the normalized
-    Laplacian + DataFrame k-means (see module docstring)."""
+    Laplacian + DataFrame k-means (see module docstring).
+    ``random_state`` is the reference's name for the seed and takes
+    precedence over ``seed`` when given."""
+    if random_state is not None:
+        seed = random_state
     if G.is_directed():
         raise ValueError("input graph must be undirected")
     k = max(num_eigen_vects, 2)

@@ -62,8 +62,25 @@ def _skew_safe_hint(df: DataFrame, n_rows: int | None):
     return df
 
 
-def weakly_connected_components(G: Graph) -> DataFrame:
+def _ensure_legacy_args(api_name: str, directed, connection, return_labels) -> None:
+    """Reference parity (connectivity.py:18 _ensure_args): the cupy/scipy
+    compat kwargs are rejected for Graph-type inputs, and ``connection``
+    must name the API being called."""
+    exc_value = "'%s' cannot be specified for a Graph-type input"
+    if directed is not None:
+        raise TypeError(exc_value % "directed")
+    if return_labels is not None:
+        raise TypeError(exc_value % "return_labels")
+    want = api_name.split("_", 1)[0].replace("weakly", "weak").replace("strongly", "strong")
+    if (connection is not None) and (connection != want):
+        raise TypeError(f"'connection' must be '{want}' for {api_name}()")
+
+
+def weakly_connected_components(
+    G: Graph, directed=None, connection=None, return_labels=None
+) -> DataFrame:
     """Returns (vertex, labels); label = min vertex id in the component."""
+    _ensure_legacy_args("weakly_connected_components", directed, connection, return_labels)
     edges = G.edgelist.select(SRC, DST)
     if G.is_directed():
         edges = add_reverse_edges(edges)
@@ -198,7 +215,9 @@ def _max_coloring(
             return c, rounds
 
 
-def strongly_connected_components(G: Graph) -> DataFrame:
+def strongly_connected_components(
+    G: Graph, directed=None, connection=None, return_labels=None
+) -> DataFrame:
     """Multi-pivot coloring SCC (SURVEY §2.E). Returns (vertex, labels),
     label = min vertex id in the SCC — same deterministic labelling the
     SQL oracle checks, independent of the internal hash priorities.
@@ -210,6 +229,9 @@ def strongly_connected_components(G: Graph) -> DataFrame:
     the condensation, so a 1,000-SCC chain finishes in a few rounds; see
     the module docstring for the scheme and soundness argument.
     """
+    _ensure_legacy_args(
+        "strongly_connected_components", directed, connection, return_labels
+    )
     if not G.is_directed():
         return weakly_connected_components(G)
 
@@ -283,10 +305,12 @@ def strongly_connected_components(G: Graph) -> DataFrame:
     return out
 
 
-def connected_components(G: Graph, connection: str = "weak") -> DataFrame:
+def connected_components(
+    G: Graph, directed=None, connection: str = "weak", return_labels=None
+) -> DataFrame:
     """Dispatcher (connectivity.py:283)."""
     if connection == "weak":
-        return weakly_connected_components(G)
+        return weakly_connected_components(G, directed, None, return_labels)
     if connection == "strong":
-        return strongly_connected_components(G)
+        return strongly_connected_components(G, directed, None, return_labels)
     raise ValueError(f"unknown connection type {connection!r}")

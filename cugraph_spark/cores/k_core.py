@@ -16,15 +16,26 @@ from .core_number import core_number
 
 
 def k_core(
-    G: Graph, k: Optional[int] = None, core_number_df: Optional[DataFrame] = None
+    G: Graph,
+    k: Optional[int] = None,
+    core_number_df: Optional[DataFrame] = None,
+    degree_type: str = "bidirectional",
+    **kwargs,
 ) -> Graph:
     """Returns the k-core as a new Graph. ``k`` defaults to the maximum
-    core number (reference semantics); ``core_number_df`` (vertex,
-    core_number) may be precomputed."""
+    core number (reference semantics); a precomputed (vertex,
+    core_number) DataFrame may be passed as ``core_number_df`` or the
+    reference's ``core_number=`` keyword (k_core.py:28); ``degree_type``
+    is forwarded to the core-number computation."""
+    ref_cn = kwargs.pop("core_number", None)
+    if kwargs:
+        raise TypeError(f"unexpected kwargs: {sorted(kwargs)}")
+    if core_number_df is None:
+        core_number_df = ref_cn
     if G.is_directed():
         raise ValueError("input graph must be undirected")
     if core_number_df is None:
-        core_number_df = core_number(G)
+        core_number_df = core_number(G, degree_type)
     if k is None:
         k = core_number_df.agg(F.max("core_number")).collect()[0][0]
 

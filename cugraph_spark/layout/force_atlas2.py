@@ -87,6 +87,7 @@ def force_atlas2(
     vertex_mobility: Optional[DataFrame] = None,
     vertex_mass: Optional[DataFrame] = None,
     verbose: bool = False,
+    callback=None,
     random_state: Optional[int] = None,
 ) -> DataFrame:
     """Continuous force-directed layout; returns ``(vertex, x, y)``.
@@ -100,6 +101,13 @@ def force_atlas2(
     near-field (same-cell) pairs; far-field cell centroids keep the
     standard kernel (far cells cannot overlap).
     """
+    if callback is not None:
+        # reference parity: callback support was removed upstream
+        # (layout/force_atlas2.py:186-192 raises RuntimeError)
+        raise RuntimeError(
+            "Support for the callback argument was removed in the reference "
+            "(version 25.10); it is likewise not supported here"
+        )
     if prevent_overlapping and vertex_radius is None:
         raise ValueError(
             "vertex_radius must be provided when prevent_overlapping is enabled"

@@ -66,9 +66,12 @@ def _solve_dense(cost: list[list[float]]) -> list[int]:
     return out
 
 
-def dense_hungarian(costs, num_rows: int, num_cols: int):
+def dense_hungarian(costs, num_rows: int, num_columns: int, epsilon=None):
     """lap.py:79 — flattened row-major cost matrix. Returns (cost,
-    assignment list)."""
+    assignment list). ``epsilon`` is the reference's float-comparison
+    tolerance knob; the exact JV solver here has no float-threshold step,
+    so it is accepted and unused."""
+    num_cols = num_columns
     mat = [
         [float(costs[r * num_cols + c]) for c in range(num_cols)] for r in range(num_rows)
     ]

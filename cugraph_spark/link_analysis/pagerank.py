@@ -53,9 +53,12 @@ def pagerank(
     tol: float = 1e-5,
     nstart: Optional[DataFrame] = None,
     weight: str = WEIGHT,
+    dangling=None,
     fail_on_nonconvergence: bool = True,
 ) -> DataFrame:
-    """Returns (vertex, pagerank) with external vertex ids.
+    """Returns (vertex, pagerank) with external vertex ids. ``dangling``
+    is NetworkX-compat and ignored, as in the reference
+    (pagerank.py:147: "here for NetworkX compatibility and ignored").
 
     personalization: DataFrame (vertex, values); nstart: (vertex, values).
     With fail_on_nonconvergence=False also adds a constant ``converged``

@@ -12,8 +12,9 @@ def overlap(input_graph, vertex_pair=None, use_weight=False):
     return similarity(input_graph, "overlap", vertex_pair, use_weight)
 
 
-def overlap_coefficient(G, ebunch=None):
-    """NetworkX-compat wrapper (reference overlap.py)."""
+def overlap_coefficient(G, ebunch=None, do_expensive_check: bool = False):
+    """NetworkX-compat wrapper (reference overlap.py; the
+    ``do_expensive_check`` input-validation flag is a no-op there too)."""
     return similarity(G, "overlap", ebunch, False)
 
 

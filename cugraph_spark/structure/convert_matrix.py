@@ -22,29 +22,39 @@ def from_edgelist(
     edge_attr=None,
     create_using=Graph,
     renumber: bool = True,
+    vertices=None,
     spark: Optional[SparkSession] = None,
 ) -> Graph:
     """Dispatch on input type (Spark DataFrame or pandas) —
-    convert_matrix.py:20."""
+    convert_matrix.py:20. ``vertices``: optional external-id list/Series/
+    DataFrame contributing isolated vertices (convert_matrix.py vertices
+    kwarg)."""
     import pandas as pd
 
+    spark = spark or SparkSession.getActiveSession()
     if isinstance(df, pd.DataFrame):
-        spark = spark or SparkSession.getActiveSession()
         df = spark.createDataFrame(df)
+    if vertices is not None and not hasattr(vertices, "sparkSession"):
+        vertices = spark.createDataFrame([(v,) for v in list(vertices)], ["vertex"])
     if isinstance(create_using, type):
         g = create_using()
     else:
         g = create_using
-    g.from_edgelist(df, source=source, destination=destination, edge_attr=edge_attr, renumber=renumber)
+    g.from_edgelist(
+        df, source=source, destination=destination, edge_attr=edge_attr,
+        renumber=renumber, vertices=vertices,
+    )
     return g
 
 
 def from_pandas_edgelist(
     pdf, source="src", destination="dst", edge_attr=None, create_using=Graph,
-    renumber: bool = True, spark: Optional[SparkSession] = None,
+    renumber: bool = True, vertices=None, spark: Optional[SparkSession] = None,
 ) -> Graph:
     """convert_matrix.py:261."""
-    return from_edgelist(pdf, source, destination, edge_attr, create_using, renumber, spark)
+    return from_edgelist(
+        pdf, source, destination, edge_attr, create_using, renumber, vertices, spark
+    )
 
 
 def to_pandas_edgelist(G: Graph, source="src", destination="dst"):
@@ -78,7 +88,8 @@ def from_adjlist(
     return from_edgelist(df, create_using=create_using, spark=spark)
 
 
-def from_pandas_adjacency(pdf, create_using=Graph, spark: Optional[SparkSession] = None) -> Graph:
+def from_pandas_adjacency(pdf, create_using=Graph, vertices=None,
+                          spark: Optional[SparkSession] = None) -> Graph:
     """Dense adjacency matrix (pandas, index/columns = vertex ids) ->
     Graph (convert_matrix.py:382): melt nonzero cells."""
     import pandas as pd
@@ -87,7 +98,8 @@ def from_pandas_adjacency(pdf, create_using=Graph, spark: Optional[SparkSession]
     stacked.columns = ["src", "dst", "weight"]
     stacked = stacked[stacked["weight"] != 0]
     return from_edgelist(
-        stacked, "src", "dst", edge_attr="weight", create_using=create_using, spark=spark
+        stacked, "src", "dst", edge_attr="weight", create_using=create_using,
+        vertices=vertices, spark=spark,
     )
 
 
@@ -99,11 +111,12 @@ def to_pandas_adjacency(G: Graph):
     return pdf.pivot_table(index="src", columns="dst", values="weight", fill_value=0.0)
 
 
-def from_numpy_array(arr, create_using=Graph, spark: Optional[SparkSession] = None) -> Graph:
+def from_numpy_array(arr, create_using=Graph, vertices=None,
+                     spark: Optional[SparkSession] = None) -> Graph:
     """convert_matrix.py:435."""
     import pandas as pd
 
-    return from_pandas_adjacency(pd.DataFrame(arr), create_using, spark)
+    return from_pandas_adjacency(pd.DataFrame(arr), create_using, vertices, spark)
 
 
 def to_numpy_array(G: Graph):

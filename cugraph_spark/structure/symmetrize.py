@@ -52,15 +52,30 @@ def symmetrize(
 
 
 def symmetrize_df(
-    edges: DataFrame, multi: bool = False, dedup: bool = True
+    edges: DataFrame,
+    src_name: str = SRC,
+    dst_name: str = DST,
+    weight_name: str | None = None,
+    multi: bool = False,
+    dedup: bool | None = None,
+    symmetrize: bool = True,
 ) -> DataFrame:
-    """Symmetrize an edge list.
+    """Symmetrize an edge list (reference signature:
+    ``symmetrize_df(df, src_name, dst_name, weight_name=None, multi=False,
+    symmetrize=True)``; ``dedup`` is this module's historical alias for
+    ``symmetrize``).
 
     multi=True (MultiGraph) keeps parallel edges (reference passes
     ``multi`` through and skips the groupby dedup).
     """
+    if dedup is not None:
+        symmetrize = dedup
+    if src_name != SRC or dst_name != DST or weight_name:
+        return globals()["symmetrize"](
+            edges, src_name, dst_name, weight_name, multi=multi, symmetrize=symmetrize
+        )
     both = add_reverse_edges(edges)
-    if multi or not dedup:
+    if multi or not symmetrize:
         return both
     if WEIGHT in edges.columns:
         others = [c for c in edges.columns if c not in (SRC, DST)]

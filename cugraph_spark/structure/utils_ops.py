@@ -27,10 +27,25 @@ def relabel(df: DataFrame, mapping: DataFrame, cols: list[str]) -> DataFrame:
     return out
 
 
-def replicate_edgelist(edges: DataFrame) -> DataFrame:
+def replicate_edgelist(
+    edgelist_ddf: DataFrame = None,
+    source: str = "src",
+    destination: str = "dst",
+    weight: str | None = None,
+    edge_id: str | None = None,
+    edge_type: str | None = None,
+) -> DataFrame:
     """structure/replicate_edgelist.py:154 — make the edge list available
-    on every worker. In Spark that is a broadcast hint, not a copy."""
-    return F.broadcast(edges)
+    on every worker. In Spark that is a broadcast hint, not a copy; the
+    column-name kwargs select/rename to the canonical layout first, as
+    the reference's signature does."""
+    cols = [F.col(source).alias(SRC), F.col(destination).alias(DST)]
+    for name, canon in ((weight, "weight"), (edge_id, "edge_id"), (edge_type, "edge_type")):
+        if name is not None:
+            cols.append(F.col(name).alias(canon))
+    if (source, destination) == (SRC, DST) and weight is edge_id is edge_type is None:
+        return F.broadcast(edgelist_ddf)  # already canonical: keep all columns
+    return F.broadcast(edgelist_ddf.select(*cols))
 
 
 def remove_self_loops(edges: DataFrame) -> DataFrame:

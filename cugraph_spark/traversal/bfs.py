@@ -31,13 +31,27 @@ INT_MAX = 2147483647
 
 def bfs(
     G: Graph,
-    start: Union[int, str, list, DataFrame],
+    start: Union[int, str, list, DataFrame, None] = None,
     depth_limit: Optional[int] = None,
     return_predecessors: bool = True,
+    i_start=None,
+    directed: Optional[bool] = None,
 ) -> DataFrame:
     """Returns (vertex, distance, predecessor) over ALL graph vertices;
     unreached: distance = 2147483647, predecessor = -1 (bfs.py:69
-    docstring semantics)."""
+    docstring semantics). ``i_start`` is identical to ``start`` (API
+    compat, bfs.py:97); ``directed`` is only valid for matrix inputs in
+    the reference (bfs.py:35 _ensure_args) and rejected here the same."""
+    if (start is not None) and (i_start is not None):
+        raise TypeError("cannot specify both 'start' and 'i_start'")
+    if (start is None) and (i_start is None):
+        raise TypeError("must specify 'start' or 'i_start', but not both")
+    if directed is not None:
+        raise TypeError(
+            "'directed' is only valid for matrix inputs; a Graph carries "
+            "its own directedness"
+        )
+    start = start if start is not None else i_start
     starts = start if isinstance(start, list) else [start]
     ids = G.lookup_internal_vertex_id(starts)
     spark = G.edgelist.sparkSession
@@ -109,8 +123,13 @@ def _unrenumber_pred(G: Graph, df: DataFrame) -> DataFrame:
     return mapped.unionByName(sent)
 
 
-def bfs_edges(G: Graph, source, reverse: bool = False, depth_limit: Optional[int] = None):
-    """NetworkX-compat wrapper (traversal/bfs.py:199)."""
+def bfs_edges(G: Graph, source, reverse: bool = False,
+              depth_limit: Optional[int] = None, sort_neighbors=None):
+    """NetworkX-compat wrapper (traversal/bfs.py:199). ``sort_neighbors``
+    is accepted for compatibility and not implemented — the reference
+    (bfs.py:221) documents the same."""
+    if sort_neighbors is not None:
+        raise NotImplementedError("sort_neighbors is not implemented (reference parity)")
     if reverse and G.is_directed():
         G = _transposed(G)
     return bfs(G, source, depth_limit=depth_limit)
@@ -129,9 +148,16 @@ def _transposed(G: Graph) -> Graph:
 
 
 def multi_source_bfs(
-    G: Graph, sources: Iterable, depth_limit: Optional[int] = None
+    G: Graph, sources: Iterable, components=None,
+    depth_limit: Optional[int] = None, offload: bool = False,
 ) -> DataFrame:
     """Concurrent BFS from many sources (traversal/ms_bfs.py:172).
+
+    ``components`` (optional (vertex, color) DataFrame, ms_bfs.py:191) is
+    a GPU-memory planning hint in the reference — a BFS can never leave
+    its source's component, so it does not change results and is accepted
+    and ignored here. ``offload`` (spill-to-disk) likewise: Spark
+    DataFrames are lazy and never driver-materialized by this function.
 
     Returns (source, vertex, distance, predecessor) for REACHED vertices —
     the frontier carries a ``source`` key column; otherwise identical to
@@ -189,4 +215,26 @@ def multi_source_bfs(
     return out
 
 
-concurrent_bfs = multi_source_bfs
+def concurrent_bfs(Graphs, sources, depth_limit: Optional[int] = None,
+                   offload: bool = False) -> DataFrame:
+    """BFS over multiple graphs with multiple sources each
+    (traversal/ms_bfs.py:97). ``Graphs``: a Graph or list of Graphs;
+    ``sources``: per-graph source list (or one list for a single graph).
+    Returns one DataFrame (graph_id, source, vertex, distance,
+    predecessor) — the DataFrame-native form of the reference's
+    edge-list + offsets pair. ``offload`` (reference: spill results to
+    csv when they exceed GPU memory) is accepted and ignored: Spark
+    DataFrames are lazy and never driver-materialized here, so the
+    out-of-memory case the flag exists for does not arise."""
+    if isinstance(Graphs, Graph):
+        Graphs = [Graphs]
+        sources = [sources]
+    if len(Graphs) != len(sources):
+        raise ValueError("need one source list per graph")
+    out = None
+    for i, (g, srcs) in enumerate(zip(Graphs, sources)):
+        part = multi_source_bfs(g, list(srcs), depth_limit=depth_limit).select(
+            F.lit(i).alias("graph_id"), "*"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

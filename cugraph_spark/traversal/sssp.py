@@ -31,13 +31,39 @@ RELAX_PASSES_PER_SYNC = 1
 
 def sssp(
     G: Graph,
-    source: Union[int, str],
+    source: Union[int, str, None] = None,
     cutoff: Optional[float] = None,
     edge_attr: str = WEIGHT,
+    method=None,
+    directed=None,
+    return_predecessors=None,
+    unweighted=None,
+    overwrite=None,
+    indices=None,
 ) -> DataFrame:
     """Returns (vertex, distance, predecessor) over all vertices;
     unweighted graphs fall back to hop counts (weight 1.0, as the
-    reference warns-and-does, sssp.py:108 docstring)."""
+    reference warns-and-does, sssp.py:108 docstring).
+
+    The SciPy-compat kwargs follow the reference's validation
+    (sssp.py:19-65 _ensure_args): ``method`` only accepts "auto",
+    ``indices`` is an alias for ``source`` (not both), and
+    ``directed``/``unweighted``/``overwrite`` are only valid for matrix
+    inputs, so they are rejected for Graph inputs the same way."""
+    if (method is not None) and (method != "auto"):
+        raise ValueError("only 'auto' is currently accepted for method")
+    if (indices is not None) and (type(indices) is list):
+        raise ValueError("indices currently cannot be a list-like type")
+    if (indices is not None) and (source is not None):
+        raise TypeError("cannot specify both 'source' and 'indices'")
+    if (indices is None) and (source is None):
+        raise TypeError("must specify 'source' or 'indices', but not both")
+    for argname, val in (("directed", directed),
+                         ("return_predecessors", return_predecessors),
+                         ("unweighted", unweighted), ("overwrite", overwrite)):
+        if val is not None:
+            raise TypeError(f"'{argname}' cannot be specified for a Graph-type input")
+    source = source if source is not None else indices
     [sid] = G.lookup_internal_vertex_id([source])
     spark = G.edgelist.sparkSession
     edges = G.edgelist
@@ -152,8 +178,8 @@ def sssp(
     return out
 
 
-def shortest_path(G: Graph, source, **kwargs) -> DataFrame:
-    """Alias (sssp.py:263)."""
+def shortest_path(G: Graph, source=None, **kwargs) -> DataFrame:
+    """Alias (sssp.py:263); accepts the same SciPy-compat kwargs."""
     return sssp(G, source, **kwargs)
 
 

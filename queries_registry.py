@@ -1901,18 +1901,24 @@ WITH rows_h AS MATERIALIZED (
            n_name, n_regionkey
     FROM nation
 )
-SELECT 'event::' || h AS src, 'n_name::' || n_name AS dst FROM rows_h
+SELECT 'n_name' AS edge_type, 'n_name::' || n_name AS attrib_id,
+       'event_id::' || h AS event_id
+FROM rows_h
 UNION ALL
-SELECT 'event::' || h AS src, 'n_regionkey::' || n_regionkey::VARCHAR AS dst FROM rows_h
+SELECT 'n_regionkey' AS edge_type, 'n_regionkey::' || n_regionkey::VARCHAR AS attrib_id,
+       'event_id::' || h AS event_id
+FROM rows_h
 """,
 )
 def q_hypergraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypergraph melt of the nation table (SURVEY §1.4)."""
+    """Hypergraph melt of the nation table (SURVEY §1.4); hyper-mode
+    edges are (event_id, edge_type, attrib_id) rows, attrib->event
+    orientation (reference hypergraph.py:230-232 SOURCE=ATTRIBID)."""
     from cugraph_spark.structure.hypergraph import hypergraph
 
     n = _read(spark, sf_dir, "nation")
-    out = hypergraph(n, columns=["n_name", "n_regionkey"])
-    return out["edges"]
+    out = hypergraph(n, columns=["n_name", "n_regionkey"], drop_edge_attrs=True)
+    return out["edges"].select("edge_type", "attrib_id", "event_id")
 
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,8 @@ cugraph/__init__.py resolves on cugraph_spark (same flat namespace)."""
 
 import ast
 
+import pytest
+
 REF_INIT = "/root/reference/python/cugraph/cugraph/__init__.py"
 
 
@@ -63,3 +65,47 @@ def test_dask_namespace_parity():
     import cugraph_spark
 
     assert csd.pagerank is cugraph_spark.pagerank
+
+
+def test_concurrent_bfs_multiple_graphs(spark):
+    from cugraph_spark import Graph, concurrent_bfs
+
+    g1 = Graph(directed=True)
+    g1.from_edgelist(spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"]), "src", "dst")
+    g2 = Graph(directed=True)
+    g2.from_edgelist(spark.createDataFrame([(5, 6)], ["src", "dst"]), "src", "dst")
+    out = concurrent_bfs([g1, g2], [[0], [5]]).collect()
+    d = {(r["graph_id"], r["vertex"]): r["distance"] for r in out}
+    assert d[(0, 2)] == 2 and d[(1, 6)] == 1
+
+
+def test_induced_subgraph_offsets(spark):
+    from cugraph_spark import Graph
+    from cugraph_spark.community.induced_subgraph import induced_subgraph
+
+    g = Graph(directed=True)
+    g.from_edgelist(
+        spark.createDataFrame([(0, 1), (1, 2), (3, 4)], ["src", "dst"]), "src", "dst"
+    )
+    edges, offs = induced_subgraph(g, [0, 1, 3, 4], offsets=[0, 2, 4])
+    got = {(r["batch"], r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(0, 0, 1), (1, 3, 4)}  # batch 0 = {0,1}, batch 1 = {3,4}
+    assert offs == [0, 2, 4]
+
+
+def test_legacy_matrix_kwargs_rejected(spark):
+    from cugraph_spark import Graph, bfs, sssp, weakly_connected_components
+
+    g = Graph(directed=False)
+    g.from_edgelist(spark.createDataFrame([(0, 1)], ["src", "dst"]), "src", "dst")
+    with pytest.raises(TypeError):
+        bfs(g, 0, directed=True)
+    with pytest.raises(TypeError):
+        bfs(g)  # neither start nor i_start
+    assert bfs(g, i_start=0).count() == 2
+    with pytest.raises(TypeError):
+        sssp(g, 0, indices=1)
+    with pytest.raises(TypeError):
+        weakly_connected_components(g, return_labels=True)
+    with pytest.raises(TypeError):
+        weakly_connected_components(g, connection="strong")

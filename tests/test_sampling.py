@@ -100,3 +100,59 @@ def test_negative_sampling(karate):
     for r in out:
         assert r["dst"] not in adj.get(r["src"], set())
         assert r["src"] != r["dst"]
+
+
+def test_neighbor_sample_extended_kwargs(spark):
+    from cugraph_spark import Graph, homogeneous_neighbor_sample
+
+    # hub 0 with weighted spokes: weight 100 on edge (0,9), 0.001 elsewhere
+    rows = [(0, d, 100.0 if d == 9 else 0.001) for d in range(1, 10)]
+    g = Graph(directed=True)
+    g.from_edgelist(spark.createDataFrame(rows, ["src", "dst", "weight"]), "src", "dst", weight="weight")
+
+    # with_biases: the heavy edge should essentially always be picked
+    out = homogeneous_neighbor_sample(g, [0], [1], with_biases=True)
+    assert [r["minors"] for r in out.collect()] == [9]
+
+    # batch offsets: [0,1,2] puts seed 0 in batch 0, seed 1 in batch 1
+    out2 = homogeneous_neighbor_sample(
+        g, [0, 1], [2], starting_vertex_label_offsets=[0, 1, 2]
+    )
+    batches = {r["batch_id"] for r in out2.collect()}
+    assert batches == {0}  # vertex 1 has no out-edges, so only batch 0 rows
+
+    # renumber + retain_seeds + return_offsets: extended return shape
+    out3, rmap, offs = homogeneous_neighbor_sample(
+        g, [0, 1], [2], starting_vertex_label_offsets=[0, 1, 2],
+        renumber=True, retain_seeds=True, return_offsets=True,
+    )
+    m = {(r["batch_id"], r["vertex"]): r["renumbered_id"] for r in rmap.collect()}
+    assert (1, 1) in m  # seed 1 retained despite sampling nothing
+    assert min(v for (b, _), v in m.items() if b == 0) == 0  # dense from 0
+    assert {r["batch_id"]: r["n_rows"] for r in offs.collect()} == {0: 2}
+
+    # return_hops=False drops hop_id
+    out4 = homogeneous_neighbor_sample(g, [0], [1], return_hops=False)
+    assert "hop_id" not in out4.columns
+
+    # compression validation
+    with pytest.raises(ValueError):
+        homogeneous_neighbor_sample(g, [0], [1], compression="CSR")
+
+
+def test_heterogeneous_flat_fanout_layout(spark):
+    from cugraph_spark import Graph, heterogeneous_neighbor_sample
+
+    rows = [(0, d, 1.0, d % 2) for d in range(1, 9)]
+    g = Graph(directed=True)
+    g.from_edgelist(
+        spark.createDataFrame(rows, ["src", "dst", "weight", "et"]),
+        "src", "dst", weight="weight", edge_id=None, edge_type="et",
+    )
+    # flat layout [hop0_type0, hop0_type1] with num_edge_types=2
+    out = heterogeneous_neighbor_sample(g, [0], [2, 3], num_edge_types=2)
+    by_type = {}
+    for r in out.collect():
+        by_type.setdefault(r["edge_type"], 0)
+        by_type[r["edge_type"]] += 1
+    assert by_type.get(0, 0) <= 2 and by_type.get(1, 0) <= 3
