@@ -1348,6 +1348,88 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_u_defs(src_cte: str, seed: int, prefix: str):
+    """CTE defs computing the mixing priority u = pmod(xxhash64(doc_id,
+    seed), 2^30)/2^30 for every row of ``src_cte``; returns (defs,
+    final_cte, u_sql_expr)."""
+    from cugraph_spark.testing.xxh_sql import (
+        cte_chain,
+        pmod_sql,
+        to_i64,
+        xxhash64_steps,
+    )
+
+    steps, h = xxhash64_steps(prefix, [("doc_id", "long"), (str(seed), "int")], seed=42)
+    defs, final = cte_chain(src_cte, steps, prefix + "c")
+    u = f"(({pmod_sql(to_i64(h), 1 << 30)})::DOUBLE / 1073741824.0)"
+    return defs, final, u
+
+
+MIX_SEED = 7
+MIX_FRACTIONS = {"en": 0.5, "de": 1.0}
+MIX_DEFAULT_FRACTION = 0.25
+TB_BUDGETS = {"src0": 2000, "src1": 3000}
+TB_DEFAULT_BUDGET = 1000
+
+
+def _stratified_oracle() -> str:
+    defs, final, u = _mix_u_defs("mx_src", MIX_SEED, "mx")
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in MIX_FRACTIONS.items()
+    )
+    return (
+        "WITH mx_src AS MATERIALIZED (SELECT doc_id, lang FROM documents), "
+        + ", ".join(defs)
+        + f" SELECT doc_id, lang FROM {final}"
+        f" WHERE {u} < CASE lang {case} ELSE {MIX_DEFAULT_FRACTION} END"
+    )
+
+
+def _token_budget_oracle() -> str:
+    defs, final, u = _mix_u_defs("tb_src", MIX_SEED, "tb")
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in TB_BUDGETS.items())
+    return (
+        "WITH tb_src AS MATERIALIZED"
+        " (SELECT doc_id, source, n_chars::BIGINT AS n_chars FROM documents), "
+        + ", ".join(defs)
+        + f", tb_rank AS MATERIALIZED (SELECT doc_id, source, n_chars,"
+        f" SUM(n_chars) OVER (PARTITION BY source ORDER BY {u}, doc_id) AS _cum"
+        f" FROM {final})"
+        f" SELECT doc_id, source, n_chars FROM tb_rank"
+        f" WHERE _cum - n_chars < CASE source {case} ELSE {TB_DEFAULT_BUDGET} END"
+    )
+
+
+@register("stratified_sample_documents", oracle=_stratified_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling rates over documents (dataset
+    mixing). Cross-engine exact: the seeded xxhash64 priority is
+    replicated bit-for-bit in the DuckDB oracle."""
+    from cugraph_spark.pipelines.mixing import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "lang", MIX_FRACTIONS, seed=MIX_SEED,
+        default_fraction=MIX_DEFAULT_FRACTION,
+    )
+
+
+@register("token_budget_documents", oracle=_token_budget_oracle())
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source char-budget selection over documents (dataset mixing):
+    docs taken in seeded-hash order until each source's budget is
+    reached (one-doc overshoot rule)."""
+    from cugraph_spark.pipelines.mixing import token_budget_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return token_budget_sample(
+        docs, TB_BUDGETS, strata_col="source", token_col="n_chars",
+        seed=MIX_SEED, default_budget=TB_DEFAULT_BUDGET,
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\b\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"

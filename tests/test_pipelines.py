@@ -364,3 +364,41 @@ def test_multimodal_real_decoders(spark):
     assert abs(a[1]["duration_s"] - 0.5) < 1e-9
     assert a[1]["feature"][0] == 0.0  # RMS of silence
     assert a[2]["format"] == "audio-stub"
+
+
+def test_stratified_sample(spark):
+    from cugraph_spark.pipelines.mixing import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)], ["doc_id", "s"]
+    )
+    out = stratified_sample(df, "s", {"a": 1.0, "b": 0.0}, seed=3)
+    got = out.groupBy("s").count().collect()
+    assert {r["s"]: r["count"] for r in got} == {"a": 100}
+    # rough rate check + determinism
+    half = stratified_sample(df, "s", {"a": 0.5}, seed=3, default_fraction=0.5)
+    n1, n2 = half.count(), stratified_sample(df, "s", {"a": 0.5}, seed=3, default_fraction=0.5).count()
+    assert n1 == n2 and 60 <= n1 <= 140
+
+
+def test_token_budget_sample(spark):
+    from cugraph_spark.pipelines.mixing import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "a", 10) for i in range(10)] + [(100 + i, "b", 10) for i in range(10)],
+        ["doc_id", "src", "toks"],
+    )
+    out = token_budget_sample(
+        df, {"a": 25}, strata_col="src", token_col="toks", default_budget=1000
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r["doc_id"])
+    # budget 25 at 10 tokens/doc -> 2 full docs + the one crossing = 3
+    assert len(by["a"]) == 3
+    assert len(by["b"]) == 10  # default budget big enough for all
+    # budget smaller than one doc still yields exactly one doc
+    tiny = token_budget_sample(
+        df, {"a": 5, "b": 5}, strata_col="src", token_col="toks"
+    )
+    assert tiny.groupBy("src").count().collect()[0]["count"] == 1
