@@ -55,6 +55,9 @@ def stratified_sample(
     return df.filter(_priority(id_col, seed) < frac)
 
 
+_TB_BUCKETS = 256
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: Mapping,
@@ -66,28 +69,98 @@ def token_budget_sample(
 ) -> DataFrame:
     """Selects documents per stratum until the stratum's token budget is
     reached: rows are taken in seeded-hash priority order and a row is
-    kept while the running token total (inclusive) fits the budget, plus
-    the first row that crosses it (so a budget smaller than the first
-    document still yields one document; budget overshoot is bounded by
-    one document — the standard knapsack-free budgeting rule).
+    kept while the running token total (exclusive of the current row)
+    is under the budget — so the first row crossing the budget is kept
+    (a budget smaller than the first document still yields one document;
+    overshoot is bounded by one document, the standard knapsack-free
+    budgeting rule). Strata absent from ``budgets`` use
+    ``default_budget`` (None = keep everything in that stratum).
 
-    Strata absent from ``budgets`` use ``default_budget`` (None = keep
-    everything in that stratum).
+    Scale path: NO per-stratum full sort. The hash-priority domain is
+    split into buckets; one aggregation finds each over-budget stratum's
+    boundary bucket (driver sees strata x buckets token sums — tiny),
+    whole buckets before the boundary are kept with a filter, and only
+    the boundary bucket's rows (~1/buckets of the stratum) go through
+    the window sort. Exactly equivalent to the naive global-cumsum
+    definition the oracle computes.
     """
-    pri = _priority(id_col, seed)
-    w = Window.partitionBy(strata_col).orderBy(pri, F.col(id_col))
-    cum = F.sum(F.col(token_col).cast("long")).over(w)
-    budget = None
-    for k, v in budgets.items():
-        cond = F.col(strata_col) == F.lit(k)
-        budget = F.when(cond, F.lit(int(v))) if budget is None else budget.when(cond, F.lit(int(v)))
-    if budget is None:
-        budget = F.lit(default_budget if default_budget is not None else None).cast("long")
-    elif default_budget is not None:
-        budget = budget.otherwise(F.lit(int(default_budget)))
-    out = df.withColumn("_cum_tokens", cum)
-    keep = (
-        budget.isNull()
-        | (F.col("_cum_tokens") - F.col(token_col).cast("long") < budget)
+    budget_by = dict(budgets)
+
+    def budget_of(s):
+        return budget_by.get(s, default_budget)
+
+    pri_int = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 30))
+    bucket_width = (1 << 30) // _TB_BUCKETS
+    work = df.withColumn("_pri", pri_int).withColumn(
+        "_bkt", F.floor(F.col("_pri") / F.lit(bucket_width)).cast("int")
     )
-    return out.filter(keep).drop("_cum_tokens")
+
+    # one aggregation: per-(stratum, bucket) token sums
+    sums = (
+        work.groupBy(strata_col, "_bkt")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
+        .collect()
+    )
+    per_stratum: dict = {}
+    for r in sums:
+        per_stratum.setdefault(r[strata_col], {})[r["_bkt"]] = r["_t"]
+
+    keep_all, boundary, drop_all = [], {}, []
+    for s, bmap in per_stratum.items():
+        b = budget_of(s)
+        if b is None or sum(bmap.values()) <= b:
+            keep_all.append(s)
+            continue
+        cum = 0
+        bstar, before = None, 0
+        for bkt in range(_TB_BUCKETS):
+            t = bmap.get(bkt, 0)
+            if cum + t >= b and t > 0:
+                bstar, before = bkt, cum
+                break
+            cum += t
+        if bstar is None:  # all remaining buckets empty; everything fits
+            keep_all.append(s)
+        else:
+            boundary[s] = (bstar, before, b)
+
+    scol = F.col(strata_col)
+
+    def match(s):
+        return scol.isNull() if s is None else scol == F.lit(s)
+
+    nonnull_keep = [s for s in keep_all if s is not None]
+    keep_whole = scol.isin(nonnull_keep) if nonnull_keep else F.lit(False)
+    if None in keep_all:
+        keep_whole = keep_whole | scol.isNull()
+    pieces = [work.filter(keep_whole).drop("_pri", "_bkt")]
+    if boundary:
+        bstar_expr = None
+        before_expr = None
+        budget_expr = None
+        for s, (bstar, before, b) in boundary.items():
+            cond = match(s)
+            bstar_expr = (F.when(cond, bstar) if bstar_expr is None else bstar_expr.when(cond, bstar))
+            before_expr = (F.when(cond, before) if before_expr is None else before_expr.when(cond, before))
+            budget_expr = (F.when(cond, b) if budget_expr is None else budget_expr.when(cond, b))
+        bcond = None
+        for s in boundary:
+            bcond = match(s) if bcond is None else bcond | match(s)
+        bounded = work.filter(bcond)
+        # whole buckets strictly before the boundary are kept outright
+        pieces.append(
+            bounded.filter(F.col("_bkt") < bstar_expr).drop("_pri", "_bkt")
+        )
+        # only the boundary bucket sorts; offset by the tokens before it
+        edge = bounded.filter(F.col("_bkt") == bstar_expr)
+        w = Window.partitionBy(strata_col).orderBy("_pri", id_col)
+        cum = F.sum(F.col(token_col).cast("long")).over(w) + before_expr
+        pieces.append(
+            edge.withColumn("_cum", cum)
+            .filter(F.col("_cum") - F.col(token_col).cast("long") < budget_expr)
+            .drop("_pri", "_bkt", "_cum")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
