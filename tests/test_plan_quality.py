@@ -109,3 +109,35 @@ def test_hot_path_stays_in_wholestage_codegen(spark):
     assert "WholeStageCodegen" in plan or "*(" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     g.edgelist.unpersist()
+
+
+@needs_testdata
+def test_text_pipeline_stays_shuffle_free(spark):
+    """repetition_scores / redact_pii / stratified_sample are pure map
+    work: NO Exchange may appear — at 100 TB these run as a single scan."""
+    from cugraph_spark.pipelines.mixing import stratified_sample
+    from cugraph_spark.pipelines.text import redact_pii, repetition_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text", "lang")
+    for q in (
+        repetition_scores(docs),
+        redact_pii(docs),
+        stratified_sample(docs, "lang", {"en": 0.5}, default_fraction=0.1),
+    ):
+        plan = _plan(q)
+        assert "Exchange" not in plan, plan
+
+
+@needs_testdata
+def test_read_edgelist_prunes_columns(spark):
+    from cugraph_spark.sources import read_edgelist
+
+    path = f"{SF_DIR}/lineitem.parquet"
+    df = read_edgelist(
+        spark, path, fmt="parquet", source="l_orderkey",
+        destination="l_partkey", weight="l_quantity",
+    )
+    plan = _plan(df)
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_partkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs, f"unused columns not pruned: {rs}"
