@@ -69,6 +69,17 @@ _FRONTIER_BYPASS_FACTOR = 4
 # where the shuffle volume dominates fixed job cost.
 _FRONTIER_MIN_EDGES = 5_000_000
 
+# Tail cutoff: stop local-move passes once the movers fall below this
+# fraction of vertices. The move tail decays geometrically — the last
+# passes each relocate a handful of vertices for ΔQ ~ 1e-4 at ~4 jobs
+# per pass; standard Louvain practice stops at ~1% movers. Measured on
+# the sf0.01 copurchase fixture (1,133 vertices): leiden 15.5s/Q=0.3672
+# at 0.2%, 11.2s/Q=0.3639 at 1%, 8.2s/Q=0.3547 at 3% — 1% buys 28% of
+# the wall for 0.9% of Q. Inert on graphs under ~100/_frac vertices
+# (n_moves >= 1 never undercuts the bar), so tiny-fixture tests see
+# exact fixpoints.
+_TAIL_MOVE_FRACTION = 0.01
+
 
 def modularity_of(
     edges: DataFrame,
@@ -256,6 +267,16 @@ def _one_level(
             ],
         )
         if not n_moves or (gain_sum or 0.0) / two_m < threshold:
+            break
+        if it > 0 and n_moves <= n_verts_hint * _TAIL_MOVE_FRACTION:
+            # apply this pass's few moves, then stop
+            assign = best.select(
+                "vertex",
+                F.when(mv, F.col("_best")).otherwise(F.col("community")).alias("community"),
+            )
+            if iso_assign is not None:
+                assign = assign.unionByName(iso_assign)
+            assign = iterloop.materialize(assign)
             break
         # next assignment = join-free projection over the checkpointed
         # best (the old path joined assign with the moved set); checkpoint
