@@ -247,3 +247,54 @@ def ngram_jaccard_pairs(
         ).alias("shingle"),
     ).distinct()
     return verify_jaccard(grams, pairs, id_col)
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-level corpus dedup (the CCNet recipe, Wenzek et al.
+    2020 — public): every paragraph (``\\n\\n``-separated block) that
+    already occurred earlier in the corpus is removed; the FIRST
+    occurrence — ordered by (doc id, position) — survives. Boilerplate
+    (headers, cookie banners, license blocks) repeated across pages
+    collapses to a single copy.
+
+    Returns (id, ``text_dedup``, n_paras, n_kept). One shuffle on the
+    paragraph hash + one on doc id for reassembly — both linear in
+    corpus paragraphs; no all-pairs anything, scales to 100 TB.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("pos", "para"),
+    )
+    hashed = paras.withColumn("_h", F.md5("para"))
+    first = hashed.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("_f")
+    )
+    kept = (
+        hashed.join(first, "_h")
+        .filter((F.col(id_col) == F.col("_f.i")) & (F.col("pos") == F.col("_f.p")))
+        .select(id_col, "pos", "para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    counts = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_paras", F.lit(0)).cast("int").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        )
+    )

@@ -1430,6 +1430,55 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "paragraph_dedup_documents",
+    oracle=r"""
+WITH pd_t AS MATERIALIZED (
+    SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM documents
+),
+pd_p AS MATERIALIZED (
+    SELECT doc_id, i - 1 AS pos, ps[i] AS para, md5(ps[i]) AS h
+    FROM pd_t, (SELECT unnest(generate_series(1, 100000)) AS i) idx
+    WHERE i <= len(ps)
+),
+pd_first AS MATERIALIZED (
+    SELECT doc_id, pos, para,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM pd_p
+),
+pd_keep AS MATERIALIZED (
+    SELECT doc_id, pos, para FROM pd_first WHERE rn = 1
+),
+pd_out AS MATERIALIZED (
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup,
+           COUNT(*) AS n_kept
+    FROM pd_keep GROUP BY doc_id
+),
+pd_counts AS MATERIALIZED (
+    SELECT doc_id, COUNT(*) AS n_paras FROM pd_p GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(coalesce(o.text_dedup, '')) AS dedup_md5,
+       CAST(coalesce(c.n_paras, 0) AS INT) AS n_paras,
+       CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept
+FROM documents d
+LEFT JOIN pd_counts c USING (doc_id)
+LEFT JOIN pd_out o USING (doc_id)
+""",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup; the rebuilt text is
+    md5-hashed so any drift in the keep/reassemble rule flips the row."""
+    from cugraph_spark.pipelines.dedup import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = paragraph_dedup(docs)
+    return out.select(
+        "doc_id", F.md5("text_dedup").alias("dedup_md5"), "n_paras", "n_kept"
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\b\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"

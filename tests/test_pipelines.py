@@ -402,3 +402,20 @@ def test_token_budget_sample(spark):
         df, {"a": 5, "b": 5}, strata_col="src", token_col="toks"
     )
     assert tiny.groupBy("src").count().collect()[0]["count"] == 1
+
+
+def test_paragraph_dedup(spark):
+    from cugraph_spark.pipelines.dedup import paragraph_dedup
+
+    rows = [
+        (1, "unique one\n\nBOILERPLATE\n\nunique two"),
+        (2, "BOILERPLATE\n\nother text"),          # boilerplate repeated
+        (3, "BOILERPLATE"),                         # only boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text_dedup"] == rows[0][1]  # first occurrence keeps all
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["text_dedup"] == "other text"
+    assert out[2]["n_kept"] == 1
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
