@@ -1547,6 +1547,36 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_OUT_DIM = 8
+RP_SEED = 42
+
+
+def _random_projection_oracle() -> str:
+    from cugraph_spark.pipelines.similarity_search import projection_matrix
+
+    mat = projection_matrix(64, RP_OUT_DIM, RP_SEED)
+    scale = 1.0 / (RP_OUT_DIM ** 0.5)
+    comps = ", ".join(
+        f"ROUND(list_dot_product(embedding::DOUBLE[],"
+        f" [{', '.join(str(float(s)) for s in row)}]::DOUBLE[]) * {scale!r}, 6)"
+        for row in mat
+    )
+    return f"SELECT vec_id, [{comps}] AS projected FROM embeddings"
+
+
+@register("random_projection_embeddings", oracle=_random_projection_oracle())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL Rademacher projection of the 64-dim embeddings to 8 dims; the
+    literal sign matrix is shared with the oracle, so the hash compare
+    checks the full projected matrix to 6 dp."""
+    from cugraph_spark.pipelines.similarity_search import random_projection
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return random_projection(emb, out_dim=RP_OUT_DIM, seed=RP_SEED).select(
+        "vec_id", "projected"
+    )
+
+
 @register(
     "embed_topk_brute",
     oracle="""

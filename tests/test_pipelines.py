@@ -419,3 +419,23 @@ def test_paragraph_dedup(spark):
     assert out[2]["text_dedup"] == "other text"
     assert out[2]["n_kept"] == 1
     assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+
+
+def test_random_projection_preserves_similarity(vectors):
+    from cugraph_spark.pipelines.similarity_search import random_projection, with_cosine
+
+    proj = random_projection(vectors, "embedding", out_dim=6, seed=5)
+    rows = {r["vec_id"]: r["projected"] for r in proj.collect()}
+    assert len(rows[0]) == 6
+    # identical-direction pair stays identical-direction after projection
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    assert cos(rows[0], rows[100]) == pytest.approx(1.0, abs=1e-6)
+    # determinism
+    again = {r["vec_id"]: r["projected"] for r in
+             random_projection(vectors, "embedding", out_dim=6, seed=5).collect()}
+    assert rows == again
