@@ -227,3 +227,43 @@ def document_fingerprints(
         hashed.groupBy(id_col)
         .agg(F.slice(F.sort_array(F.collect_list("_h")), 1, keep).alias("fingerprint"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Splits each document into whitespace-token chunks of at most
+    ``max_tokens`` tokens, consecutive chunks sharing ``overlap`` tokens
+    (sliding window, stride = max_tokens - overlap) — the standard
+    context-window preparation step for pre-training/embedding corpora.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens). Pure column
+    expressions + one posexplode: linear, shuffle-free, codegen'd.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    # number of windows covering all n tokens: ceil((n - overlap)/stride)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_ctoks"),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+        F.size("_ctoks").alias("n_chunk_tokens"),
+    )

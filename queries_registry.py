@@ -1547,6 +1547,44 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_MAX = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_MAX - CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents",
+    oracle=rf"""
+WITH ch_t AS MATERIALIZED (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+ch_n AS MATERIALIZED (
+    SELECT doc_id, t,
+           greatest(CAST(ceil((len(t) - {CHUNK_OVERLAP}) * 1.0 / {_CHUNK_STRIDE}) AS INT), 1) AS nc
+    FROM ch_t
+)
+SELECT doc_id, i - 1 AS chunk_id,
+       md5(array_to_string(t[(i-1)*{_CHUNK_STRIDE}+1 : (i-1)*{_CHUNK_STRIDE}+{CHUNK_MAX}], ' ')) AS chunk_md5,
+       CAST(len(t[(i-1)*{_CHUNK_STRIDE}+1 : (i-1)*{_CHUNK_STRIDE}+{CHUNK_MAX}]) AS INT) AS n_chunk_tokens
+FROM ch_n, (SELECT unnest(generate_series(1, 100000)) AS i) idx
+WHERE i <= nc
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (32-token windows, 8-token
+    overlap); chunk text md5-hashed for the value compare."""
+    from cugraph_spark.pipelines.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_chunk_tokens",
+    )
+
+
 RP_OUT_DIM = 8
 RP_SEED = 42
 

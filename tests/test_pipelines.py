@@ -439,3 +439,24 @@ def test_random_projection_preserves_similarity(vectors):
     again = {r["vec_id"]: r["projected"] for r in
              random_projection(vectors, "embedding", out_dim=6, seed=5).collect()}
     assert rows == again
+
+
+def test_chunk_documents(spark):
+    from cugraph_spark.pipelines.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], ["doc_id", "text"])
+    out = chunk_documents(df, max_tokens=4, overlap=1)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    )
+    # stride 3: ceil((10-1)/3) = 3 windows cover all ten tokens
+    assert rows[0] == (1, 0, "w0 w1 w2 w3", 4)
+    assert rows[1] == (1, 1, "w3 w4 w5 w6", 4)
+    assert rows[2] == (1, 2, "w6 w7 w8 w9", 4)
+    assert rows[3] == (2, 0, "short doc", 2)
+    assert len(rows) == 4
+    # overlap: last token of each chunk opens the next
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
