@@ -164,3 +164,63 @@ def token_budget_sample(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """GPT-style sequence packing: documents are laid out on one global
+    token stream in deterministic seeded-hash order and cut into
+    ``seq_len``-token training sequences; a document crossing a cut
+    simply continues into the next sequence. Returns the packing map
+    (id, stream_start, bin_id = stream_start // seq_len, bin_offset =
+    stream_start % seq_len, n_bins_spanned) — enough for a reader to
+    assemble any training sequence by range-scanning the map.
+
+    Global prefix sums don't need a single sorted partition: the
+    classic two-phase scan — per-bucket token sums (one aggregation),
+    driver-side prefix over the tiny bucket table, within-bucket window
+    cumsum offset by the bucket prefix — gives the exact global cumsum
+    with only bucket-local sorts (~1/buckets of the data each).
+    """
+    pri = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 30))
+    bucket_width = (1 << 30) // _TB_BUCKETS
+    work = df.withColumn("_pri", pri).withColumn(
+        "_bkt", F.floor(F.col("_pri") / F.lit(bucket_width)).cast("int")
+    )
+    sums = (
+        work.groupBy("_bkt").agg(F.sum(F.col(token_col).cast("long")).alias("_t")).collect()
+    )
+    by_bucket = {r["_bkt"]: r["_t"] for r in sums}
+    prefix, run = {}, 0
+    for b in range(_TB_BUCKETS):
+        prefix[b] = run
+        run += by_bucket.get(b, 0)
+    pre = None
+    for b, off in prefix.items():
+        if b not in by_bucket:
+            continue
+        cond = F.col("_bkt") == F.lit(b)
+        pre = F.when(cond, off) if pre is None else pre.when(cond, off)
+    w = Window.partitionBy("_bkt").orderBy("_pri", id_col)
+    local_cum = F.sum(F.col(token_col).cast("long")).over(w) - F.col(token_col).cast("long")
+    start = (local_cum + pre).alias("stream_start")
+    out = work.select(
+        id_col,
+        F.col(token_col).cast("long").alias(token_col),
+        start,
+    )
+    return out.select(
+        id_col,
+        token_col,
+        "stream_start",
+        (F.col("stream_start") / seq_len).cast("long").alias("bin_id"),
+        F.pmod(F.col("stream_start"), F.lit(seq_len)).alias("bin_offset"),
+        (
+            (F.col("stream_start") + F.col(token_col) - 1) / seq_len
+        ).cast("long").alias("last_bin_id"),
+    )

@@ -1547,6 +1547,40 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SEQ_LEN = 512
+
+
+def _pack_oracle() -> str:
+    defs, final, u = _mix_u_defs("ps_src", MIX_SEED, "ps")
+    return (
+        "WITH ps_src AS MATERIALIZED"
+        " (SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents), "
+        + ", ".join(defs)
+        + f", ps_cum AS MATERIALIZED (SELECT doc_id, n_chars,"
+        f" SUM(n_chars) OVER (ORDER BY {u}, doc_id) - n_chars AS stream_start"
+        f" FROM {final})"
+        f" SELECT doc_id, n_chars, stream_start,"
+        f" stream_start // {PACK_SEQ_LEN} AS bin_id,"
+        f" stream_start % {PACK_SEQ_LEN} AS bin_offset,"
+        f" (stream_start + n_chars - 1) // {PACK_SEQ_LEN} AS last_bin_id"
+        f" FROM ps_cum"
+    )
+
+
+@register("pack_sequences_documents", oracle=_pack_oracle())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing map of documents onto a 512-token stream
+    (chars stand in for tokens); exact global prefix sums via the
+    two-phase bucket scan, hash-checked against the oracle's single
+    global window."""
+    from cugraph_spark.pipelines.mixing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return pack_sequences(docs, PACK_SEQ_LEN, token_col="n_chars", seed=MIX_SEED)
+
+
 CHUNK_MAX = 32
 CHUNK_OVERLAP = 8
 _CHUNK_STRIDE = CHUNK_MAX - CHUNK_OVERLAP

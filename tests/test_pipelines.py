@@ -460,3 +460,23 @@ def test_chunk_documents(spark):
     # overlap: last token of each chunk opens the next
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_pack_sequences(spark):
+    from cugraph_spark.pipelines.mixing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(20)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(df, seq_len=256).collect()
+    starts = sorted(r["stream_start"] for r in out)
+    # exact global prefix: starts are 0, 100, ..., 1900 regardless of order
+    assert starts == [i * 100 for i in range(20)]
+    by_id = {r["doc_id"]: r for r in out}
+    for r in out:
+        assert r["bin_id"] == r["stream_start"] // 256
+        assert r["bin_offset"] == r["stream_start"] % 256
+        assert r["last_bin_id"] == (r["stream_start"] + 99) // 256
+    # deterministic across reruns
+    again = {r["doc_id"]: r["stream_start"] for r in pack_sequences(df, seq_len=256).collect()}
+    assert again == {k: v["stream_start"] for k, v in by_id.items()}
