@@ -83,7 +83,8 @@ def hypergraph(
             F.concat_ws("\x1f", *[F.col(c).cast("string") for c in values.columns])
         )
     df = values.withColumn("_event_id", F.concat(F.lit(EVENTID + DELIM), raw_id))
-    attr_cols = [c for c in values.columns]
+    # the id-source column would collide with the EVENTID output column
+    attr_cols = [c for c in values.columns if c != id_src]
 
     def cat_of(c: str) -> str:
         return categories.get(c, c)
