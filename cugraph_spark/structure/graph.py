@@ -513,7 +513,8 @@ class Graph:
         return self.unrenumber(out, "vertex")
 
     def _restore(self, edges: DataFrame, vertices: DataFrame,
-                 vertex_map: Optional[DataFrame], meta: dict) -> "Graph":
+                 vertex_map: Optional[DataFrame], meta: dict,
+                 already_partitioned: bool = False) -> "Graph":
         """Adopt a pre-built edge table written by ``sources.save_graph``
         without re-running renumber/symmetrize/dedup — the build shuffle
         is paid once at save time, not per session. Repartitions by src
@@ -527,15 +528,21 @@ class Graph:
                   "node_count", "edge_count", "store_transposed"):
             setattr(p, k, meta[k])
         spark = edges.sparkSession
-        n_rows = meta["edge_count"] or edges.count()
-        row_bytes = 8 * len(edges.columns) + 16
-        ideal = max(1, -(-n_rows * row_bytes // _EDGE_PARTITION_TARGET_BYTES))
-        ideal = max(ideal, max(1, spark_parallelism(spark) // 4))
-        self._edges = (
-            edges.repartition(int(ideal), SRC)
-            .sortWithinPartitions(SRC, DST)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        if already_partitioned:
+            # bucketed-table source (sources.save_graph_table): the
+            # catalog bucketing spec already hash-distributes and sorts
+            # on src — caching it as-is preserves that layout, no shuffle
+            self._edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            n_rows = meta["edge_count"] or edges.count()
+            row_bytes = 8 * len(edges.columns) + 16
+            ideal = max(1, -(-n_rows * row_bytes // _EDGE_PARTITION_TARGET_BYTES))
+            ideal = max(ideal, max(1, spark_parallelism(spark) // 4))
+            self._edges = (
+                edges.repartition(int(ideal), SRC)
+                .sortWithinPartitions(SRC, DST)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
         self._vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
         ext_types = [T._parse_datatype_string(s) for s in meta["external_types"]]
         self._nm = NumberMap(

@@ -94,3 +94,27 @@ def test_save_load_graph_string_ids(spark, tmp_path):
     assert nodes == {"a", "b", "c"}
     deg = {r["vertex"]: r["degree"] for r in g2.degree().collect()}
     assert deg == {"a": 2, "b": 2, "c": 2}
+
+
+def test_save_load_graph_table_bucketed(spark, tmp_path):
+    from cugraph_spark import pagerank
+    from cugraph_spark.sources import load_graph_table, save_graph_table
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(EDGES, ["src", "dst", "weight"])
+    g = Graph(directed=True)
+    g.from_edgelist(df, "src", "dst", weight="weight")
+    name = "tbl_graph_test"
+    for suffix in ("edges", "vertices", "vertex_map", "properties"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+    save_graph_table(g, name, num_buckets=4)
+    g2 = load_graph_table(spark, name)
+    assert g2.number_of_edges() == g.number_of_edges()
+    pr1 = {r["vertex"]: r["pagerank"] for r in pagerank(g, max_iter=60).collect()}
+    pr2 = {r["vertex"]: r["pagerank"] for r in pagerank(g2, max_iter=60).collect()}
+    for v in pr1:
+        assert pr1[v] == pytest.approx(pr2[v], abs=1e-9)
+    # the bucketed scan means a src-keyed aggregation needs NO shuffle
+    agg = spark.table(f"{name}_edges").groupBy("src").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
