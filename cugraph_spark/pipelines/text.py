@@ -267,3 +267,49 @@ def chunk_documents(
         F.array_join("_ctoks", " ").alias("chunk_text"),
         F.size("_ctoks").alias("n_chunk_tokens"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_floor: float = 1e-9,
+) -> DataFrame:
+    """Corpus-level language-model filter proxy (the CCNet recipe trains
+    a KenLM; the distributed-friendly first cut is a corpus unigram
+    model): score(d) = mean over d's tokens of log10 P(token), with
+    P(token) = corpus_count(token) / corpus_total. Documents far below
+    the corpus median read as gibberish / OOV-heavy; far above as
+    repetitive boilerplate.
+
+    Two linear shuffles: one groupBy for the corpus counts, one
+    explode+join+groupBy for the per-doc means — no per-row vocabulary
+    broadcast, so an unbounded vocabulary is fine at 100 TB.
+    Deterministic; ``oov_floor`` only guards the (impossible for a
+    corpus-internal token) zero-count case.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("_w")
+    ).filter(F.col("_w") != "")
+    counts = words.groupBy("_w").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c")).collect()[0][0] or 1
+    logp = F.log10(
+        F.greatest(F.col("_c") / F.lit(float(total)), F.lit(float(oov_floor)))
+    )
+    per_doc = (
+        words.join(counts, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(logp), 6).alias("unigram_logprob"),
+            F.count("*").alias("n_scored_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("unigram_logprob", F.lit(0.0)).alias("unigram_logprob"),
+            F.coalesce("n_scored_tokens", F.lit(0)).cast("int").alias("n_scored_tokens"),
+        )
+    )

@@ -1547,6 +1547,39 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unigram_logprob_documents",
+    oracle=r"""
+WITH ug_w AS MATERIALIZED (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+ug_c AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM ug_w GROUP BY w),
+ug_t AS MATERIALIZED (SELECT SUM(c) AS t FROM ug_c),
+ug_d AS MATERIALIZED (
+    SELECT doc_id,
+           ROUND(AVG(log10(greatest(c * 1.0 / (SELECT t FROM ug_t), 1e-9))), 6)
+               AS unigram_logprob,
+           COUNT(*) AS n
+    FROM ug_w JOIN ug_c USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(o.unigram_logprob, 0.0) AS unigram_logprob,
+       CAST(coalesce(o.n, 0) AS INT) AS n_scored_tokens
+FROM documents d LEFT JOIN ug_d o USING (doc_id)
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM filter scores over documents (CCNet-style
+    quality proxy)."""
+    from cugraph_spark.pipelines.text import unigram_logprob_scores
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob_scores(docs)
+
+
 PACK_SEQ_LEN = 512
 
 

@@ -480,3 +480,22 @@ def test_pack_sequences(spark):
     # deterministic across reruns
     again = {r["doc_id"]: r["stream_start"] for r in pack_sequences(df, seq_len=256).collect()}
     assert again == {k: v["stream_start"] for k, v in by_id.items()}
+
+
+def test_unigram_logprob_scores(spark):
+    from cugraph_spark.pipelines.text import unigram_logprob_scores
+    import math
+
+    rows = [
+        (1, "the the the"),        # most frequent token only
+        (2, "the rare"),           # mixed
+        (3, ""),                   # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    # corpus: the x4, rare x1, total 5
+    assert out[1]["unigram_logprob"] == pytest.approx(math.log10(4 / 5), abs=1e-6)
+    expect2 = (math.log10(4 / 5) + math.log10(1 / 5)) / 2
+    assert out[2]["unigram_logprob"] == pytest.approx(expect2, abs=1e-6)
+    assert out[1]["unigram_logprob"] > out[2]["unigram_logprob"]
+    assert out[3]["n_scored_tokens"] == 0 and out[3]["unigram_logprob"] == 0.0
