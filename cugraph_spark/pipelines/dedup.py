@@ -298,3 +298,51 @@ def paragraph_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
         )
     )
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """The full production dedup flow: minhash-LSH near-dup pairs above
+    ``threshold`` -> connected components over the pair graph (transitive
+    closure: A~B, B~C puts A,C in one group even if A,C never collided)
+    -> one cluster per group, canonical member = min id. Returns
+    (id, cluster_id, is_canonical) for EVERY input document (singletons
+    are their own canonical cluster); filtering ``is_canonical`` yields
+    the deduplicated corpus.
+    """
+    from ..components.connectivity import weakly_connected_components
+    from ..structure.graph import Graph
+
+    pairs = minhash_lsh_duplicates(
+        df, id_col, text_col, k, num_hashes, bands, threshold, seed
+    )
+    edges = pairs.select(F.col("first").alias("src"), F.col("second").alias("dst"))
+    if edges.limit(1).count() == 0:  # no near-dups: all singletons
+        return df.select(
+            id_col, F.col(id_col).alias("cluster_id"), F.lit(True).alias("is_canonical")
+        )
+    g = Graph(directed=False)
+    g.from_edgelist(edges, "src", "dst")
+    wcc = weakly_connected_components(g)
+    out = (
+        df.select(id_col)
+        .join(
+            wcc.select(F.col("vertex").alias(id_col), F.col("labels").alias("_cl")),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("_cl", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+    return out

@@ -1169,6 +1169,55 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("first", "second", F.round("jaccard", 6).alias("jaccard"))
 
 
+NDC_THRESHOLD = 0.8
+
+
+def _ndc_oracle_sql() -> str:
+    """Near-dup clusters: the minhash pair oracle wrapped as a CTE, then
+    transitive closure by squaring (5 doublings cover diameter 32 —
+    near-dup groups are tiny) and min-id labels over ALL documents."""
+    base = _minhash_oracle_sql(MINHASH_K, MINHASH_H, MINHASH_BANDS)
+    head, select = base.rsplit("SELECT c.first", 1)
+    wrapped = (
+        head.rstrip().rstrip(",")
+        + ",\nndc_pairs AS MATERIALIZED (SELECT c.first"
+        + select.replace("LEFT JOIN inter i ON i.first = c.first AND i.second = c.second",
+                         "LEFT JOIN inter i ON i.first = c.first AND i.second = c.second)")
+    )
+    return f"""
+{wrapped.rstrip()},
+ndc_e0 AS MATERIALIZED (
+    SELECT first AS src, second AS dst FROM ndc_pairs WHERE jaccard >= {NDC_THRESHOLD}
+    UNION SELECT second, first FROM ndc_pairs WHERE jaccard >= {NDC_THRESHOLD}
+    UNION SELECT first, first FROM ndc_pairs WHERE jaccard >= {NDC_THRESHOLD}
+    UNION SELECT second, second FROM ndc_pairs WHERE jaccard >= {NDC_THRESHOLD}
+),
+ndc_r1 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ndc_e0 a JOIN ndc_e0 b ON a.dst = b.src),
+ndc_r2 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ndc_r1 a JOIN ndc_r1 b ON a.dst = b.src),
+ndc_r3 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ndc_r2 a JOIN ndc_r2 b ON a.dst = b.src),
+ndc_r4 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ndc_r3 a JOIN ndc_r3 b ON a.dst = b.src),
+ndc_r5 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ndc_r4 a JOIN ndc_r4 b ON a.dst = b.src),
+ndc_lab AS MATERIALIZED (SELECT src AS doc_id, MIN(dst) AS cl FROM ndc_r5 GROUP BY src)
+SELECT d.doc_id,
+       coalesce(l.cl, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(l.cl, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN ndc_lab l USING (doc_id)
+"""
+
+
+@register("near_dup_clusters_documents", oracle=_ndc_oracle_sql())
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup flow: LSH pairs (jaccard >= 0.8) -> WCC clusters ->
+    canonical = min doc id; every document labeled."""
+    from cugraph_spark.pipelines.dedup import near_duplicate_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_duplicate_clusters(
+        docs, k=MINHASH_K, num_hashes=MINHASH_H, bands=MINHASH_BANDS,
+        threshold=NDC_THRESHOLD,
+    )
+
+
 def _simhash_oracle_sql() -> str:
     bit_sums = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(60)

@@ -499,3 +499,27 @@ def test_unigram_logprob_scores(spark):
     assert out[2]["unigram_logprob"] == pytest.approx(expect2, abs=1e-6)
     assert out[1]["unigram_logprob"] > out[2]["unigram_logprob"]
     assert out[3]["n_scored_tokens"] == 0 and out[3]["unigram_logprob"] == 0.0
+
+
+def test_near_duplicate_clusters(spark):
+    from cugraph_spark.pipelines.dedup import near_duplicate_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about spark dataframes and shuffles"
+    rows = [
+        (1, base),
+        (2, base),                       # dup of 1
+        (3, base + " tiny tail"),        # near dup of 1 -> transitive group
+        (4, other),
+        (5, other),                      # dup of 4
+        (6, "standalone unique text entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           near_duplicate_clusters(df, k=3, threshold=0.5).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[4]["cluster_id"] == out[5]["cluster_id"] == 4
+    assert out[6]["cluster_id"] == 6 and out[6]["is_canonical"]
+    kept = [d for d, r in out.items() if r["is_canonical"]]
+    assert sorted(kept) == [1, 4, 6]
