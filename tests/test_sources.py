@@ -104,10 +104,25 @@ def test_save_load_graph_table_bucketed(spark, tmp_path):
     df = spark.createDataFrame(EDGES, ["src", "dst", "weight"])
     g = Graph(directed=True)
     g.from_edgelist(df, "src", "dst", weight="weight")
-    name = "tbl_graph_test"
-    for suffix in ("edges", "vertices", "vertex_map", "properties"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
-    save_graph_table(g, name, num_buckets=4)
+    # unique name per run: saveAsTable's warehouse directory outlives the
+    # in-memory catalog, so a fixed name collides across sessions
+    import shutil
+    import uuid
+
+    name = f"tbl_graph_{uuid.uuid4().hex[:8]}"
+    try:
+        save_graph_table(g, name, num_buckets=4)
+        _assert_table_roundtrip(spark, g, name)
+    finally:
+        for suffix in ("edges", "vertices", "vertex_map", "properties"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+            shutil.rmtree(f"spark-warehouse/{name}_{suffix}", ignore_errors=True)
+
+
+def _assert_table_roundtrip(spark, g, name):
+    from cugraph_spark import pagerank
+    from cugraph_spark.sources import load_graph_table
+
     g2 = load_graph_table(spark, name)
     assert g2.number_of_edges() == g.number_of_edges()
     pr1 = {r["vertex"]: r["pagerank"] for r in pagerank(g, max_iter=60).collect()}
