@@ -357,6 +357,119 @@ class Graph:
             F.sort_array(F.collect_list(DST)).alias("indices")
         )
 
+    def view_transposed_adj_list(self) -> DataFrame:
+        """Pull-direction adjacency (reference transposedAdjList,
+        simpleGraph.py:75-77): (dst, sorted array of in-neighbors)."""
+        return self._edges.groupBy(F.col(DST).alias(SRC)).agg(
+            F.sort_array(F.collect_list(SRC)).alias("indices")
+        )
+
+    def view_edge_list(self) -> DataFrame:
+        """External-id edge list (simpleGraph.py view_edge_list)."""
+        return self.edges()
+
+    def has_isolated_vertices(self) -> bool:
+        """simpleGraph.py:713 — True when the vertex set exceeds the
+        edge-endpoint set."""
+        endpoints = (
+            self._edges.select(F.col(SRC).alias("vertex"))
+            .union(self._edges.select(F.col(DST).alias("vertex")))
+            .distinct()
+            .count()
+        )
+        return self.number_of_vertices() > endpoints
+
+    def vertex_column_size(self) -> int:
+        """Number of external vertex-id columns (multi-column keys > 1)."""
+        return len(self._nm.external_cols)
+
+    def is_multi_gpu(self) -> bool:
+        """Always distributed on Spark (the reference's MG/SG split does
+        not exist here — partitioning is the default)."""
+        return True
+
+    def is_remote(self) -> bool:
+        return False
+
+    def enable_batch(self) -> None:
+        """Reference MG batch-mode toggle (replicates the edge list to
+        every worker). A no-op here: operators broadcast-hint small
+        tables themselves and the edge table is partitioned, not
+        replicated — replication at 100 TB would be the bug."""
+        return None
+
+    def clear(self) -> None:
+        """Drop the edge list and derived state (graph_classes clear /
+        delete_edge_list / delete_adj_list)."""
+        if self._edges is not None:
+            self._edges.unpersist()
+        if self._vertices is not None:
+            self._vertices.unpersist()
+        self._edges = None
+        self._vertices = None
+        self._nm = None
+
+    delete_edge_list = clear
+
+    def delete_adj_list(self) -> None:
+        """Adjacency views are derived lazily; nothing is materialized."""
+        return None
+
+    def add_internal_vertex_id(
+        self, df: DataFrame, internal_column_name: str, external_column_name: str
+    ) -> DataFrame:
+        """NumberMap helper (number_map.py add_internal_vertex_id): join
+        the internal id onto ``df`` as ``internal_column_name``."""
+        out = self._nm.to_internal_vertex_ids(df, external_column_name)
+        return out.withColumnRenamed(external_column_name, internal_column_name)
+
+    def get_two_hop_neighbors(self, start_vertices=None) -> DataFrame:
+        """Method form (graph_classes.py get_two_hop_neighbors)."""
+        from .two_hop import get_two_hop_neighbors
+
+        return get_two_hop_neighbors(self, start_vertices)
+
+    def degrees_function(self, vertex_subset=None) -> DataFrame:
+        """simpleGraph.py degrees_function — alias of degrees()."""
+        return self.degrees(vertex_subset)
+
+    def to_pandas_edgelist(self, source="src", destination="dst"):
+        from .convert_matrix import to_pandas_edgelist
+
+        return to_pandas_edgelist(self, source, destination)
+
+    def to_pandas_adjacency(self):
+        from .convert_matrix import to_pandas_adjacency
+
+        return to_pandas_adjacency(self)
+
+    def to_numpy_array(self):
+        from .convert_matrix import to_numpy_array
+
+        return to_numpy_array(self)
+
+    to_numpy_matrix = to_numpy_array
+
+    def from_cudf_adjlist(self, offsets, indices, values=None) -> "Graph":
+        """graph_classes.py:214 — CSR input; delegates to from_adjlist's
+        row expansion then adopts the edge list."""
+        from .convert_matrix import from_adjlist
+
+        return from_adjlist(offsets, indices, values, create_using=self)
+
+    def from_numpy_array(self, arr, vertices=None) -> "Graph":
+        """graph_classes.py from_numpy_array — dense adjacency input."""
+        from .convert_matrix import from_numpy_array
+
+        return from_numpy_array(arr, create_using=self, vertices=vertices)
+
+    from_numpy_matrix = from_numpy_array
+
+    def from_pandas_adjacency(self, pdf) -> "Graph":
+        from .convert_matrix import from_pandas_adjacency
+
+        return from_pandas_adjacency(pdf, create_using=self)
+
     def unrenumber(self, df: DataFrame, col: str) -> DataFrame:
         return self._nm.unrenumber(df, col)
 

@@ -109,3 +109,49 @@ def test_legacy_matrix_kwargs_rejected(spark):
         weakly_connected_components(g, return_labels=True)
     with pytest.raises(TypeError):
         weakly_connected_components(g, connection="strong")
+
+
+def test_graph_method_parity():
+    """Every public method on the reference's Graph classes
+    (graph_classes.py + simpleGraph.py) resolves on our Graph."""
+    import cugraph_spark as cs
+
+    methods = set()
+    for p in (
+        "/root/reference/python/cugraph/cugraph/structure/graph_classes.py",
+        "/root/reference/python/cugraph/cugraph/structure/graph_implementation/simpleGraph.py",
+    ):
+        tree = ast.parse(open(p).read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ClassDef):
+                for f in node.body:
+                    if isinstance(f, ast.FunctionDef) and not f.name.startswith("_"):
+                        methods.add(f.name)
+    have = set(dir(cs.Graph)) | set(dir(cs.BiPartiteGraph))
+    missing = sorted(m for m in methods if m not in have)
+    assert missing == [], f"reference Graph methods missing here: {missing}"
+
+
+def test_graph_method_wrappers(spark):
+    from cugraph_spark import Graph
+
+    g = Graph(directed=True)
+    g.from_edgelist(
+        spark.createDataFrame([(0, 1), (1, 2), (5, 5)], ["src", "dst"]), "src", "dst",
+        vertices=spark.createDataFrame([(9,)], ["v"]),
+    )
+    assert g.has_isolated_vertices()  # vertex 9 has no edges
+    assert g.vertex_column_size() == 1
+    assert g.is_multi_gpu() and not g.is_remote()
+    adj = {r["src"]: r["indices"] for r in g.view_adj_list().collect()}
+    assert adj[0] == [1]
+    tadj = {r["src"]: r["indices"] for r in g.view_transposed_adj_list().collect()}
+    assert tadj[2] == [1]
+    two_hop = g.get_two_hop_neighbors()
+    assert {(r[0], r[1]) for r in two_hop.collect()} >= {(0, 2)}
+    assert g.view_edge_list().count() == g.edges().count()
+    g2 = Graph(directed=True)
+    g2.from_cudf_adjlist([0, 1, 2], [1, 2])
+    assert {(r["src"], r["dst"]) for r in g2.edges().select("src", "dst").collect()} == {(0, 1), (1, 2)}
+    g.clear()
+    assert g._edges is None
