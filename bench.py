@@ -29,18 +29,28 @@ def main() -> None:
 
     spark = get_spark("cugraph_spark_bench")
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+
+    def _record(name, samples):
+        # Record BOTH min and median (VERDICT r02 item 5): min strips
+        # scheduler/CPU contention noise (this box's run-to-run spread
+        # exceeds 30%); median is the honest central figure round-over-
+        # round comparisons should use.
+        s = sorted(samples)
+        timings[name] = round(s[0], 3)
+        mid = len(s) // 2
+        med = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+        medians[name] = round(med, 3)
 
     def timed_best(name, fn, reps=3):
         # Algorithms are steady-state after the warmup (graph cached,
-        # codegen compiled), so repeated runs are iid samples; keep the
-        # min to strip scheduler/CPU contention noise from the recorded
-        # figure (this box's run-to-run spread exceeds 30%).
-        best = float("inf")
+        # codegen compiled), so repeated runs are iid samples.
+        samples = []
         for _ in range(reps):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        _record(name, samples)
 
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -72,15 +82,15 @@ def main() -> None:
         # tables are dropped first so every rep re-shuffles — reps after
         # the first still measure steady-state (parquet in page cache,
         # codegen warm), which is the per-session cost a user pays.
-        best, out = float("inf"), None
+        samples, out = [], None
         for _ in range(reps):
             if out is not None:
                 out._edges.unpersist(blocking=True)
                 out._vertices.unpersist(blocking=True)
             t0 = time.time()
             out = builder()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        _record(name, samples)
         return out
 
     # -- graph build: customer<->supplier bipartite ------------------------
@@ -153,6 +163,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 3),
                 "sf": float(sf),
                 "edges_built": n_edges,
             }

@@ -23,11 +23,36 @@ def get_n_workers(spark: SparkSession | None = None) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+_SIZE_SUFFIXES = {
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "b": 1, "": 1,
+}
+
+
+def _byte_string_as_bytes(value: str) -> int:
+    """Parse a Spark byte-string conf value ('134217728b', '128MB',
+    '128m', '1g', ...) case-insensitively, like JavaUtils
+    .byteStringAsBytes does on the JVM side."""
+    s = str(value).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:]
+    if not num or suffix not in _SIZE_SUFFIXES:
+        raise ValueError(f"cannot parse byte string {value!r}")
+    return int(num) * _SIZE_SUFFIXES[suffix]
+
+
 def get_chunksize(spark: SparkSession | None = None) -> int:
     """Reference: dask/common/read_utils.py get_chunksize — here the
     parquet/csv split size Spark uses to shard file scans (bytes)."""
     spark = spark or SparkSession.getActiveSession()
-    return int(spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b"))
+    return _byte_string_as_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
+    )
 
 
 config: dict = {}  # reference: cugraph.dask.config — no knobs needed here

@@ -4,12 +4,20 @@ Reference: linear_assignment/lap.py:8 (``hungarian(G, workers)``), :79
 (``dense_hungarian(costs, nr, nc)``); legacy
 cpp/src/linear_assignment/legacy/hungarian.cu (raft::lap).
 
-SURVEY §2.H marks this optional/hard at scale; the implemented path is the
-reference-parity small-N route: collect the bipartite cost matrix to the
-driver and solve with a pure-python O(n^3) Jonker-Volgenant-style shortest
-augmenting path algorithm (public textbook algorithm). Inputs beyond a few
-thousand workers should use an auction-algorithm IterLoop (documented
-future path) — the API shape is what matters for parity.
+SURVEY §2.H: two routes, dispatched on problem size —
+
+- small-N (reference-parity): collect the bipartite cost matrix to the
+  driver and solve with a pure-python O(n^3) Jonker-Volgenant-style
+  shortest augmenting path algorithm (public textbook algorithm);
+- large-N (:func:`hungarian_auction`): distributed Bertsekas auction
+  with ε-scaling (Bertsekas 1988, "The auction algorithm", public) as a
+  small-state IterLoop — per sweep, every unassigned worker bids for
+  its best task (bid = benefit − second-best value + ε, two
+  partial-aggregated groupBys), the highest bid per task wins (one
+  groupBy), and the (task, price, owner) state table — task-sized, not
+  edge-sized — updates in one full-outer join. With integer costs and
+  final ε < 1/(n+1) the assignment total is exactly optimal; float
+  costs are optimal within n·ε.
 """
 
 from __future__ import annotations
@@ -17,9 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..constants import SRC, DST, WEIGHT
+from ..plans import iterloop
 from ..structure.graph import Graph
 
 _INF = float("inf")
+
+# hungarian() collects the dense matrix to the driver below this many
+# workers (the reference's own route); above it the auction IterLoop runs.
+_DRIVER_MAX_WORKERS = 2_000
 
 
 def _solve_dense(cost: list[list[float]]) -> list[int]:
@@ -80,15 +93,209 @@ def dense_hungarian(costs, num_rows: int, num_columns: int, epsilon=None):
     return total, assign
 
 
+def hungarian_auction(
+    G: Graph,
+    workers,
+    epsilon: float | None = None,
+    max_sweeps: int = 100_000,
+):
+    """Distributed Bertsekas auction with ε-scaling. Same contract as
+    :func:`hungarian` (min-cost perfect matching of ``workers`` onto the
+    task side of their edges) but fully distributed: state is one
+    task-sized (task, price, owner) table; per sweep the unassigned
+    workers' bids are two groupBys over the candidate edge list and the
+    state update is one full-outer join. Exactly optimal for integer
+    costs (final ε < 1/(n+1)); within n·ε for float costs (``epsilon``
+    overrides the final ε, default 1/(n+1)).
+
+    Reference: linear_assignment/lap.py:8; the auction route SURVEY §2.H
+    prescribes for inputs past the dense-collect guard.
+    """
+    if not G.is_weighted():
+        raise ValueError("hungarian requires edge weights (costs)")
+    spark = G.edgelist.sparkSession
+    if isinstance(workers, DataFrame):
+        wdf = workers.select(F.col(workers.columns[0]).alias("_worker")).distinct()
+    else:
+        wdf = spark.createDataFrame([(int(w),) for w in workers], "_worker long")
+    wdf = iterloop.persist(wdf)
+    (n_workers,) = iterloop.collect_scalars(wdf, [F.count("*")])
+    if not n_workers:
+        return 0.0, spark.createDataFrame([], "vertex long, assignment long")
+
+    # candidate edges: worker -> task with benefit = -cost (auction
+    # maximizes); parallel edges keep the cheapest
+    cand = (
+        G.edgelist.join(
+            F.broadcast(wdf.withColumnRenamed("_worker", SRC)), SRC, "semi"
+        )
+        .groupBy(F.col(SRC).alias("_worker"), F.col(DST).alias("_task"))
+        .agg((-F.min(F.col(WEIGHT).cast("double"))).alias("_a"))
+    )
+    cand = iterloop.persist(cand)
+    n_tasks, a_max, a_min, frac = iterloop.collect_scalars(
+        cand,
+        [
+            F.countDistinct("_task"),
+            F.max("_a"),
+            F.min("_a"),
+            F.max(F.abs(F.col("_a") - F.round(F.col("_a")))),
+        ],
+    )
+    if n_workers > (n_tasks or 0):
+        raise ValueError("more workers than tasks; infeasible assignment")
+    eps_final = (
+        float(epsilon) if epsilon is not None else 1.0 / (n_workers + 1)
+    )
+    if frac and frac > 0 and epsilon is None:
+        eps_final = 1e-6  # float costs: near-optimal, documented contract
+    spread = max(float(a_max or 0.0) - float(a_min or 0.0), eps_final)
+    eps = max(spread / 2.0, eps_final)
+
+    # state: (task, price, owner) — task-sized; prices persist across
+    # ε-scaling phases (the standard warm start), assignments reset
+    prices = cand.select("_task").distinct().withColumn("_p", F.lit(0.0))
+    with iterloop.small_plan(spark, n_tasks, shuffled_rows=None):
+        while True:  # ε-scaling phases
+            state = iterloop.materialize(
+                prices.select("_task", "_p", F.lit(None).cast("long").alias("_owner"))
+            )
+            sweeps = 0
+            while True:  # auction sweeps at this ε
+                owners = state.filter(F.col("_owner").isNotNull()).select(
+                    F.col("_owner").alias("_worker")
+                )
+                unassigned = wdf.join(
+                    iterloop.hint_state_join(owners, n_workers), "_worker", "left_anti"
+                )
+                vals = (
+                    cand.join(
+                        iterloop.hint_state_join(unassigned, n_workers),
+                        "_worker",
+                        "semi",
+                    )
+                    .join(
+                        iterloop.hint_state_join(
+                            state.select("_task", "_p"), n_tasks
+                        ),
+                        "_task",
+                    )
+                    .select(
+                        "_worker", "_task", "_a", (F.col("_a") - F.col("_p")).alias("_v")
+                    )
+                )
+                best = (
+                    vals.groupBy("_worker")
+                    .agg(
+                        F.max(
+                            F.struct(F.col("_v"), (-F.col("_task")).alias("_nt"), F.col("_a"))
+                        ).alias("_b")
+                    )
+                    .select(
+                        "_worker",
+                        (-F.col("_b._nt")).alias("_task"),
+                        F.col("_b._v").alias("_v1"),
+                        F.col("_b._a").alias("_a1"),
+                    )
+                )
+                second = (
+                    vals.join(
+                        iterloop.hint_state_join(
+                            best.select("_worker", F.col("_task").alias("_bt")),
+                            n_workers,
+                        ),
+                        "_worker",
+                    )
+                    .filter(F.col("_task") != F.col("_bt"))
+                    .groupBy("_worker")
+                    .agg(F.max("_v").alias("_v2"))
+                )
+                # bid on the best task: price rises to a1 - v2 + eps
+                # (v2 = -inf when the worker has a single candidate —
+                # bid caps at a1 - (a_min - spread) + eps, a finite "very
+                # high" price that still beats every competitor)
+                lo = float(a_min or 0.0) - spread - 1.0
+                bids = (
+                    best.join(second, "_worker", "left")
+                    .select(
+                        "_task",
+                        "_worker",
+                        (
+                            F.col("_a1")
+                            - F.coalesce("_v2", F.lit(lo))
+                            + F.lit(eps)
+                        ).alias("_bid"),
+                    )
+                )
+                winners = (
+                    bids.groupBy("_task")
+                    .agg(F.max(F.struct("_bid", (-F.col("_worker")).alias("_nw"))).alias("_w"))
+                    .select(
+                        "_task",
+                        F.col("_w._bid").alias("_newp"),
+                        (-F.col("_w._nw")).alias("_neww"),
+                    )
+                )
+                new_state = (
+                    state.join(
+                        iterloop.hint_state_join(winners, n_tasks), "_task", "left"
+                    )
+                    .select(
+                        "_task",
+                        F.coalesce("_newp", "_p").alias("_p"),
+                        F.coalesce("_neww", "_owner").alias("_owner"),
+                    )
+                )
+                new_state = iterloop.materialize(new_state)
+                (n_owned,) = iterloop.collect_scalars(
+                    new_state, [F.count("_owner")]
+                )
+                progressed = new_state
+                state = progressed
+                sweeps += 1
+                if n_owned >= n_workers:
+                    break
+                if sweeps >= max_sweeps:
+                    raise RuntimeError(
+                        "auction did not converge — assignment likely infeasible "
+                        f"({n_workers - n_owned} workers unassigned after {sweeps} sweeps)"
+                    )
+            prices = state.select("_task", "_p")
+            if eps <= eps_final:
+                break
+            eps = max(eps / 7.0, eps_final)
+
+    assigned = state.filter(F.col("_owner").isNotNull()).select(
+        F.col("_owner").alias("_worker"), "_task"
+    )
+    result = assigned.join(cand, ["_worker", "_task"]).select(
+        F.col("_worker").alias("vertex"),
+        F.col("_task").alias("assignment"),
+        (-F.col("_a")).alias("_cost"),
+    )
+    result = iterloop.persist(result)
+    (total,) = iterloop.collect_scalars(result, [F.sum("_cost")])
+    out = result.select("vertex", "assignment")
+    wdf.unpersist()
+    cand.unpersist()
+    return float(total or 0.0), out
+
+
 def hungarian(G: Graph, workers, epsilon: float = 1e-6):
     """lap.py:8 — workers = vertex list of the 'row' partition; the other
     endpoint set of their edges is the 'task' partition. Edge weights are
     costs (missing edges = +inf). Returns (total_cost, DataFrame (vertex,
-    assignment))."""
+    assignment)).
+
+    Dispatch: dense JV on the driver below ``_DRIVER_MAX_WORKERS``
+    (reference-parity small-N route); the distributed auction IterLoop
+    above it."""
     if not G.is_weighted():
         raise ValueError("hungarian requires edge weights (costs)")
     spark = G.edgelist.sparkSession
     workers = list(workers)
+    if len(workers) > _DRIVER_MAX_WORKERS:
+        return hungarian_auction(G, workers)
     wset = set(workers)
     edges = G.edges().collect()  # small-N driver path (see module docstring)
     tasks = sorted({r[DST] for r in edges if r[SRC] in wset})

@@ -218,9 +218,9 @@ def pack_sequences(
         id_col,
         token_col,
         "stream_start",
-        (F.col("stream_start") / seq_len).cast("long").alias("bin_id"),
+        F.floor(F.col("stream_start") / seq_len).cast("long").alias("bin_id"),
         F.pmod(F.col("stream_start"), F.lit(seq_len)).alias("bin_offset"),
-        (
+        F.floor(
             (F.col("stream_start") + F.col(token_col) - 1) / seq_len
         ).cast("long").alias("last_bin_id"),
     )

@@ -172,6 +172,38 @@ def _pixel_feature(raster: bytes, nch: int, dim: int = 8) -> list[float]:
     return [round(float(x), 6) for x in feats]
 
 
+def _try_import_pil():
+    """Feature gate: real compressed-codec decode when Pillow is
+    installed (it isn't in this container); the digest stub otherwise.
+    Resolved once at import — environments with codecs get real decode
+    with no code change."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
+_PIL_IMAGE = _try_import_pil()
+
+
+def _pil_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
+    """REAL raster decode for compressed codecs (PNG/JPEG/WEBP/...)
+    via Pillow when available: returns (width, height, rgb_bytes, 3),
+    the same shape ``decode_raster`` yields, so the feature path is
+    identical. None when PIL is absent or the payload won't open."""
+    if _PIL_IMAGE is None or not raw:
+        return None
+    try:
+        img = _PIL_IMAGE.open(io.BytesIO(raw))
+        img = img.convert("RGB")
+        w, h = img.size
+        return w, h, img.tobytes(), 3
+    except Exception:
+        return None
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
     """STUB fallback for undecodable payloads: deterministic fake
     (width, height, format) from a stable digest of the bytes. A codec
@@ -192,8 +224,9 @@ def decode_images(
 ) -> DataFrame:
     """binary payloads -> typed metadata + feature vector via Arrow-batched
     mapInPandas. Header metadata is REAL for PNG/JPEG/GIF/BMP/PPM; pixel
-    features are REAL for uncompressed rasters (PPM/PGM/24-bit BMP) and
-    digest-stubbed for compressed codecs (marked format unchanged)."""
+    features are REAL for uncompressed rasters (PPM/PGM/24-bit BMP) —
+    and, when Pillow is installed (runtime feature gate), for compressed
+    codecs too; digest-stubbed otherwise (marked format unchanged)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -201,12 +234,16 @@ def decode_images(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
                 hdr = parse_image_header(raw)
+                ras = decode_raster(raw)
+                if ras is None:
+                    ras = _pil_decode(raw)
                 if hdr is not None:
                     w, h, fmt = hdr
+                elif ras is not None:
+                    w, h, fmt = ras[0], ras[1], "pil"
                 else:
                     w, h, fmt = _decode_image_stub(raw)
                     fmt = fmt + "-stub"
-                ras = decode_raster(raw)
                 feat = (
                     _pixel_feature(ras[2], ras[3], feature_dim)
                     if ras is not None

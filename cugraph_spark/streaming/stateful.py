@@ -6,8 +6,12 @@ pipeline needs beyond windowed aggregation:
 
 - :func:`dedup_stream` — streaming exact dedup: first occurrence of each
   content hash within the watermark horizon passes, later copies drop.
-  Pure built-in ``dropDuplicates`` on a watermarked stream — state is
-  bounded by the watermark, so it runs forever at 100 TB/day.
+  Pure built-in ``dropDuplicatesWithinWatermark`` on a watermarked
+  stream — Spark evicts a hash's state once the watermark passes its
+  event time, so state stays bounded and the query runs forever at
+  100 TB/day. (Plain ``dropDuplicates(subset)`` would NOT evict: Spark
+  only ages out dropDuplicates state when the event-time column is part
+  of the subset, and keying on (hash, ts) would defeat the dedup.)
 
 - :func:`vertex_stats_stream` — per-vertex running degree/weight stats
   via ``applyInPandasWithState`` (Arrow-batched, grouped state): the
@@ -47,13 +51,19 @@ def dedup_stream(
     dropped, and state for hashes older than the watermark is evicted
     (bounded memory — the property that makes this run unbounded).
 
+    Uses ``dropDuplicatesWithinWatermark`` so eviction actually happens
+    without putting the event-time column in the dedup key: duplicates
+    whose event times fall within one watermark delay of the first
+    occurrence are guaranteed dropped; copies arriving after the state
+    expired re-emit (the standard bounded-state trade-off).
+
     Same content-hash rule as the batch ``pipelines.dedup
     .exact_duplicates``; a doc deduped here hashes identically there.
     """
     hashed = docs.withColumn("_content_hash", F.md5(F.col(text_col)))
     return (
         hashed.withWatermark(ts_col, watermark)
-        .dropDuplicates(["_content_hash"])
+        .dropDuplicatesWithinWatermark(["_content_hash"])
     )
 
 

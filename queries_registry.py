@@ -1639,12 +1639,17 @@ def _pack_oracle() -> str:
         " (SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents), "
         + ", ".join(defs)
         + f", ps_cum AS MATERIALIZED (SELECT doc_id, n_chars,"
-        f" SUM(n_chars) OVER (ORDER BY {u}, doc_id) - n_chars AS stream_start"
+        # DuckDB SUM(BIGINT) OVER returns HUGEINT (-> float64 in pandas);
+        # CAST every derived column back to BIGINT so the driver's value
+        # hash sees int64 on both engines.
+        f" CAST(SUM(n_chars) OVER (ORDER BY {u}, doc_id) - n_chars AS BIGINT)"
+        f" AS stream_start"
         f" FROM {final})"
         f" SELECT doc_id, n_chars, stream_start,"
-        f" stream_start // {PACK_SEQ_LEN} AS bin_id,"
-        f" stream_start % {PACK_SEQ_LEN} AS bin_offset,"
-        f" (stream_start + n_chars - 1) // {PACK_SEQ_LEN} AS last_bin_id"
+        f" CAST(stream_start // {PACK_SEQ_LEN} AS BIGINT) AS bin_id,"
+        f" CAST(stream_start % {PACK_SEQ_LEN} AS BIGINT) AS bin_offset,"
+        f" CAST((stream_start + n_chars - 1) // {PACK_SEQ_LEN} AS BIGINT)"
+        f" AS last_bin_id"
         f" FROM ps_cum"
     )
 
@@ -1715,20 +1720,30 @@ def _random_projection_oracle() -> str:
         f" [{', '.join(str(float(s)) for s in row)}]::DOUBLE[]) * {scale!r}, 6)"
         for row in mat
     )
-    return f"SELECT vec_id, [{comps}] AS projected FROM embeddings"
+    # The driver canonicalizer (pandas sort_values) cannot hash ARRAY
+    # columns, so the compare shape is exploded (vec_id, dim, value) rows.
+    return (
+        f"WITH rp AS MATERIALIZED (SELECT vec_id, [{comps}] AS projected"
+        f" FROM embeddings)"
+        f" SELECT vec_id, CAST(i - 1 AS INT) AS dim, projected[i] AS value"
+        f" FROM rp, (SELECT unnest(generate_series(1, {RP_OUT_DIM})) AS i) idx"
+    )
 
 
 @register("random_projection_embeddings", oracle=_random_projection_oracle())
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL Rademacher projection of the 64-dim embeddings to 8 dims; the
     literal sign matrix is shared with the oracle, so the hash compare
-    checks the full projected matrix to 6 dp."""
+    checks the full projected matrix to 6 dp. Output is exploded to
+    (vec_id, dim, value) rows — the driver canonicalizer can't hash
+    ARRAY columns."""
     from cugraph_spark.pipelines.similarity_search import random_projection
 
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return random_projection(emb, out_dim=RP_OUT_DIM, seed=RP_SEED).select(
-        "vec_id", "projected"
-    )
+    proj = random_projection(emb, out_dim=RP_OUT_DIM, seed=RP_SEED)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
 
 
 @register(
@@ -2904,3 +2919,65 @@ def q_bicliques(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_features=BICLIQUE_MIN_F, min_machines=BICLIQUE_MIN_M,
     )
     return b
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The driver verifies only the FIRST 50 queries in
+# registration order, so coverage must rotate each round: every query should
+# earn a green driver row at least once every two rounds.
+#
+# _WINDOW_FIRST lists the queries that MUST be in this round's window:
+#   round 3 = the 19 queries that fell outside round 2's window (r02 had
+#   registered the new pipeline queries mid-file), the two rows that were
+#   red in r02 for canonicalization reasons (pack_sequences,
+#   random_projection — both fixed this round), louvain's main query so it
+#   sits beside its invariant oracle, the cross-engine-PRNG queries
+#   (random_walks / neighbor_sample — permanently pinned per VERDICT r02
+#   item 9), and any query newly added this round.
+# Everything else keeps its original relative order after the pinned block;
+# queries pushed past position 50 this round were all driver-green in r02.
+# NOTE: keep this block LAST in the file — it must run after every
+# @register call.
+# ---------------------------------------------------------------------------
+
+_WINDOW_FIRST = [
+    # permanently pinned: cross-engine xxhash64 PRNG oracles
+    "random_walks_cust_supp",
+    "neighbor_sample_cust_supp",
+    "negative_sampling_cust_supp",
+    "rmat_scale12",
+    # the 19 queries with no r02 driver row
+    "leiden_copurchase_sparse",
+    "leiden_invariants_copurchase",
+    "louvain_invariants_copurchase",
+    "spectral_invariants_copurchase",
+    "wcc_scc_nation",
+    "mst_part_supp",
+    "ktruss_copurchase_sparse",
+    "mis_copurchase_sparse",
+    "vertex_coloring_copurchase_sparse",
+    "matching_part_supp",
+    "ego_batched_cust_supp",
+    "streaming_edges_events",
+    "force_atlas2_nation",
+    "fa2_invariants_nation",
+    "bicliques_doc_shingle",
+    # rows-only main query paired with its now-in-window invariant
+    "louvain_copurchase_sparse",
+    # red in r02 (canonicalization), fixed this round — verify the fix
+    "pack_sequences_documents",
+    "random_projection_embeddings",
+]
+
+
+def _apply_window_order() -> None:
+    missing = [n for n in _WINDOW_FIRST if n not in QUERIES]
+    assert not missing, f"_WINDOW_FIRST names not registered: {missing}"
+    ordered = list(_WINDOW_FIRST) + [n for n in QUERIES if n not in _WINDOW_FIRST]
+    for d in (QUERIES, ORACLES):
+        snapshot = dict(d)
+        d.clear()
+        d.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_apply_window_order()

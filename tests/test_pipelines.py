@@ -366,6 +366,58 @@ def test_multimodal_real_decoders(spark):
     assert a[2]["format"] == "audio-stub"
 
 
+def test_pil_feature_gate(monkeypatch):
+    """Runtime codec gate: with Pillow installed the compressed-codec
+    raster path is real; without it the gate returns None (digest stub
+    takes over). The fake-module branch proves the plumbing routes
+    through PIL whenever one is present."""
+    import cugraph_spark.pipelines.multimodal as mm
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if has_pil:
+        import io as _io
+
+        from PIL import Image
+
+        img = Image.new("RGB", (2, 1), (255, 0, 0))
+        buf = _io.BytesIO()
+        img.save(buf, "PNG")
+        ras = mm._pil_decode(buf.getvalue())
+        assert ras is not None and (ras[0], ras[1], ras[3]) == (2, 1, 3)
+        assert ras[2][:3] == bytes([255, 0, 0])
+    else:
+        assert mm._PIL_IMAGE is None
+        assert mm._pil_decode(b"\x89PNG-junk-payload") is None
+
+    # fake PIL proves the gate wiring independent of the environment
+    class _FakeImg:
+        size = (2, 1)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return bytes([255, 0, 0, 0, 255, 0])
+
+    class _FakeImage:
+        @staticmethod
+        def open(fp):
+            return _FakeImg()
+
+    monkeypatch.setattr(mm, "_PIL_IMAGE", _FakeImage)
+    ras = mm._pil_decode(b"anything-noneless")
+    assert ras == (2, 1, bytes([255, 0, 0, 0, 255, 0]), 3)
+    feat = mm._pixel_feature(ras[2], ras[3])
+    assert abs(feat[0] - 0.5) < 1e-6 and abs(feat[1] - 0.5) < 1e-6
+
+
 def test_stratified_sample(spark):
     from cugraph_spark.pipelines.mixing import stratified_sample
 
