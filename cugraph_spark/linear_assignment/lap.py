@@ -108,6 +108,17 @@ def hungarian_auction(
     costs (final ε < 1/(n+1)); within n·ε for float costs (``epsilon``
     overrides the final ε, default 1/(n+1)).
 
+    ε-scaling (price warm start across phases) runs only on SYMMETRIC
+    instances (#workers == #tasks). For asymmetric instances (m > n
+    tasks) the LP dual demands that every unused task keep price 0 —
+    forward auction from zero prices guarantees that in a single phase
+    (a task that never receives a winning bid never moves off 0), but
+    ε-scaling would carry a stale nonzero price onto an ultimately
+    unused task and deflect workers (measured: 409 vs optimal 279 on a
+    60×80 random instance). Single-phase asymmetric is also fast in
+    practice — the slack tasks absorb price wars (7 sweeps on that
+    60×80 instance vs 251 on a 60×60 one).
+
     Reference: linear_assignment/lap.py:8; the auction route SURVEY §2.H
     prescribes for inputs past the dense-collect guard.
     """
@@ -150,7 +161,9 @@ def hungarian_auction(
     if frac and frac > 0 and epsilon is None:
         eps_final = 1e-6  # float costs: near-optimal, documented contract
     spread = max(float(a_max or 0.0) - float(a_min or 0.0), eps_final)
-    eps = max(spread / 2.0, eps_final)
+    # symmetric: ε-scaled phases; asymmetric: single phase from zero
+    # prices (see docstring — unused tasks must keep price 0)
+    eps = max(spread / 2.0, eps_final) if n_tasks == n_workers else eps_final
 
     # state: (task, price, owner) — task-sized; prices persist across
     # ε-scaling phases (the standard warm start), assignments reset

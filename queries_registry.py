@@ -2921,6 +2921,70 @@ def q_bicliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b
 
 
+HA_MAX_WORKERS = 120
+
+
+@register(
+    "hungarian_auction_supp_part",
+    oracle=f"""
+WITH ha_w AS MATERIALIZED (
+    SELECT DISTINCT l_suppkey FROM lineitem
+    ORDER BY l_suppkey LIMIT {HA_MAX_WORKERS}
+),
+ha_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM ha_w)
+SELECT CAST(n AS BIGINT) AS n_workers,
+       CAST(n AS BIGINT) AS n_assigned,
+       CAST(n AS BIGINT) AS n_distinct_tasks,
+       TRUE AS perfect_matching,
+       TRUE AS totals_match
+FROM ha_n
+""",
+)
+def q_hungarian_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed auction Hungarian invariant oracle (the optimal
+    assignment itself is not SQL-expressible): min-cost matching of the
+    first 120 suppliers onto their parts (cost = lineitem count — integer,
+    so the auction's final-eps bound makes it exactly optimal). The Spark
+    side cross-checks the distributed auction total against the exact
+    driver JV solver on the same instance; a mismatch, a non-perfect
+    matching, or task reuse flips a boolean and fails the hash compare."""
+    from cugraph_spark import Graph
+    from cugraph_spark.linear_assignment.lap import hungarian, hungarian_auction
+
+    l = _read(spark, sf_dir, "lineitem")
+    supp = sorted(
+        r[0]
+        for r in l.select("l_suppkey").distinct().orderBy("l_suppkey")
+        .limit(HA_MAX_WORKERS).collect()
+    )
+    edges = (
+        l.filter(F.col("l_suppkey").isin(supp))
+        .groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    g = Graph(directed=True)
+    g.from_edgelist(edges, "src", "dst", weight="weight")
+    tot_au, df = hungarian_auction(g, supp)
+    tot_jv, _ = hungarian(g, supp)
+    rows = df.collect()
+    return spark.createDataFrame(
+        [
+            (
+                len(supp),
+                len(rows),
+                len({r["assignment"] for r in rows}),
+                bool(len(rows) == len(supp)),
+                bool(abs(tot_au - tot_jv) < 1e-6),
+            )
+        ],
+        "n_workers long, n_assigned long, n_distinct_tasks long,"
+        " perfect_matching boolean, totals_match boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The driver verifies only the FIRST 50 queries in
 # registration order, so coverage must rotate each round: every query should
@@ -2967,6 +3031,8 @@ _WINDOW_FIRST = [
     # red in r02 (canonicalization), fixed this round — verify the fix
     "pack_sequences_documents",
     "random_projection_embeddings",
+    # new this round
+    "hungarian_auction_supp_part",
 ]
 
 

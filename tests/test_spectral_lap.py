@@ -53,6 +53,51 @@ def test_hungarian_graph(spark):
     assert len(set(got.values())) == 3
 
 
+def _random_bipartite(spark, nw, nt, deg, seed):
+    import random
+
+    random.seed(seed)
+    rows = []
+    for w in range(nw):
+        for t in random.sample(range(1000, 1000 + nt), min(deg, nt)):
+            rows.append((w, t, float(random.randint(1, 50))))
+    g = Graph(directed=True)
+    g.from_edgelist(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        "src", "dst", weight="weight",
+    )
+    return g
+
+
+@pytest.mark.parametrize("nw,nt,seed", [(40, 60, 7), (25, 25, 3), (30, 120, 11)])
+def test_auction_matches_jv(spark, nw, nt, seed):
+    """Distributed auction total equals the exact JV optimum (integer
+    costs, final eps < 1/(n+1)) on symmetric and asymmetric instances,
+    and the result is a perfect matching of the workers."""
+    from cugraph_spark.linear_assignment.lap import hungarian_auction
+
+    g = _random_bipartite(spark, nw, nt, 10, seed)
+    tot_jv, _ = hungarian(g, list(range(nw)))
+    tot_au, df = hungarian_auction(g, list(range(nw)))
+    rows = df.collect()
+    assert abs(tot_au - tot_jv) < 1e-6
+    assert len(rows) == nw
+    assert len({r["assignment"] for r in rows}) == nw
+
+
+def test_hungarian_dispatches_to_auction(spark, monkeypatch):
+    """Past the dense-collect guard, hungarian() routes to the auction
+    IterLoop and still returns the optimal total."""
+    import cugraph_spark.linear_assignment.lap as lap
+
+    g = _random_bipartite(spark, 30, 50, 10, 5)
+    tot_jv, _ = hungarian(g, list(range(30)))
+    monkeypatch.setattr(lap, "_DRIVER_MAX_WORKERS", 10)
+    tot_au, df = lap.hungarian(g, list(range(30)))
+    assert abs(tot_au - tot_jv) < 1e-6
+    assert df.count() == 30
+
+
 def test_lanczos_ritz_values_match_dense_eigh(spark):
     # exactness check: smallest-k eigenvalues of L_sym from the
     # distributed Lanczos must match a dense numpy eigendecomposition
