@@ -27,12 +27,22 @@ from ._local_tail import LOCAL_TAIL_MAX_EDGES, local_tail
 from .louvain import _apply_tail, _one_level, modularity_of
 
 
-def _split_disconnected(edges: DataFrame, assign: DataFrame) -> DataFrame:
+def _split_disconnected(
+    edges: DataFrame, assign: DataFrame, n_hint: int | None = None
+) -> DataFrame:
     """Refinement: relabel each community to its connected components
-    (labels become min member vertex of each connected piece)."""
+    (labels become min member vertex of each connected piece).
+
+    Same hash-min + two-hop label shortcut as WCC (labels also propagate
+    label->min(member), squaring the radius per round — O(log d) rounds
+    instead of O(d); components/connectivity.py:114). ``n_hint`` is an
+    upper bound on the vertex count for the broadcast-hint decision."""
+    from ..components.connectivity import _skew_safe_hint
+
+    hint = lambda df: iterloop.hint_state_join(df, n_hint)
     intra = (
-        edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
-        .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
+        edges.join(hint(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs"))), SRC)
+        .join(hint(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd"))), DST)
         .filter(F.col("_cs") == F.col("_cd"))
         .select(SRC, DST)
     )
@@ -40,14 +50,27 @@ def _split_disconnected(edges: DataFrame, assign: DataFrame) -> DataFrame:
     labels = iterloop.materialize(labels)
     while True:
         nbr = (
-            intra.join(labels.select(F.col("vertex").alias(SRC), "label"), SRC)
+            intra.join(hint(labels.select(F.col("vertex").alias(SRC), "label")), SRC)
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.min("label").alias("_n"))
         )
-        upd = labels.join(nbr, "vertex", "left").select(
+        prop = labels.join(nbr, "vertex", "left").select(
             "vertex",
             F.least(F.col("label"), F.coalesce("_n", F.col("label"))).alias("label"),
             F.col("label").alias("_o"),
+        )
+        # two-hop shortcut: label -> min vertex currently holding it
+        # (skew-safe hint: labels consolidate toward one value per piece)
+        lab_min = prop.groupBy(F.col("label").alias("_lab")).agg(
+            F.min("vertex").alias("_root")
+        )
+        upd = (
+            prop.join(_skew_safe_hint(lab_min, n_hint), prop["label"] == lab_min["_lab"], "left")
+            .select(
+                "vertex",
+                F.least(F.col("label"), F.coalesce("_root", F.col("label"))).alias("label"),
+                "_o",
+            )
         )
         upd = iterloop.materialize(upd)
         (ch,) = iterloop.collect_scalars(upd, [F.sum((F.col("label") != F.col("_o")).cast("long"))])
@@ -85,9 +108,12 @@ def leiden(
         G.number_of_vertices(),
         shuffled_rows=n_level_edges,
     ):
+        n_hint = G.number_of_vertices()
         for level in range(max_level):
             # skip _one_level's modularity pass: the split below changes
-            # the partition, so Q is only meaningful post-refinement
+            # the partition, so Q is only meaningful post-refinement;
+            # skip its canonicalization too — the split relabels every
+            # community to its min member anyway
             assign, _ = _one_level(
                 edges,
                 resolution,
@@ -95,8 +121,10 @@ def leiden(
                 threshold,
                 compute_q=False,
                 n_edges=n_level_edges,
+                canonical=False,
             )
-            assign = _split_disconnected(edges, assign)  # the Leiden guarantee
+            # the Leiden guarantee
+            assign = _split_disconnected(edges, assign, n_hint=n_hint)
             q = modularity_of(edges, assign, resolution, two_m=two_m)
             mapping = iterloop.materialize(
                 mapping.join(

@@ -74,11 +74,14 @@ _FRONTIER_MIN_EDGES = 5_000_000
 # passes each relocate a handful of vertices for ΔQ ~ 1e-4 at ~4 jobs
 # per pass; standard Louvain practice stops at ~1% movers. Measured on
 # the sf0.01 copurchase fixture (1,133 vertices): leiden 15.5s/Q=0.3672
-# at 0.2%, 11.2s/Q=0.3639 at 1%, 8.2s/Q=0.3547 at 3% — 1% buys 28% of
-# the wall for 0.9% of Q. Inert on graphs under ~100/_frac vertices
+# at 0.2%, 11.2s/Q=0.3639 at 1%, 8.2s/Q=0.3547 at 3%. Round 3 moved the
+# bar to 2%: the r03 pass trace plateaus at 18-31 movers for the last 3
+# passes with summed gain/2m under 0.13% of Q — 2% trims those passes
+# (measured Q 0.3639 -> 0.3627 at sf0.01) while 3% already forfeits
+# whole consolidation passes. Inert on graphs under ~100/_frac vertices
 # (n_moves >= 1 never undercuts the bar), so tiny-fixture tests see
 # exact fixpoints.
-_TAIL_MOVE_FRACTION = 0.01
+_TAIL_MOVE_FRACTION = 0.02
 
 
 def modularity_of(
@@ -132,12 +135,15 @@ def _one_level(
     threshold: float,
     compute_q: bool = True,
     n_edges: int | None = None,
+    canonical: bool = True,
 ):
     """Local-move passes on one graph level.
 
     edges: symmetrized (src, dst, _w). Returns (assign DF (vertex,
     community), modularity — None when ``compute_q=False``). Communities
-    are labeled by min member vertex.
+    are labeled by min member vertex unless ``canonical=False`` (leiden
+    relabels via its connectivity split anyway — the caller only needs
+    community EQUALITY, so the canon groupBy+join jobs are skipped).
 
     Frontier-ized inner loop: a vertex's candidate gains change only if
     it moved, a candidate community's membership changed (its sigma or
@@ -269,24 +275,26 @@ def _one_level(
         if not n_moves or (gain_sum or 0.0) / two_m < threshold:
             break
         if it > 0 and n_moves <= n_verts_hint * _TAIL_MOVE_FRACTION:
-            # apply this pass's few moves, then stop
+            # apply this pass's few moves, then stop (assign stays lazy —
+            # the end-of-level materialize below checkpoints it once)
             assign = best.select(
                 "vertex",
                 F.when(mv, F.col("_best")).otherwise(F.col("community")).alias("community"),
             )
             if iso_assign is not None:
                 assign = assign.unionByName(iso_assign)
-            assign = iterloop.materialize(assign)
             break
         # next assignment = join-free projection over the checkpointed
-        # best (the old path joined assign with the moved set); checkpoint
-        # it once — several consumers broadcast it next pass
+        # best (the old path joined assign with the moved set). It stays
+        # LAZY: every consumer next pass re-scans the checkpointed best
+        # through a narrow projection (V rows, no shuffle) — cheaper than
+        # paying a localCheckpoint job per pass, and lineage stays flat
+        # because best is checkpointed.
         assign = best.select(
             "vertex", F.when(mv, F.col("_best")).otherwise(F.col("community")).alias("community")
         )
         if iso_assign is not None:
             assign = assign.unionByName(iso_assign)
-        assign = iterloop.materialize(assign)
         if not frontier_ok or n_moves * _FRONTIER_BYPASS_FACTOR >= n_verts_hint:
             # most of the graph is in motion (early passes): the frontier
             # bookkeeping costs more than it saves — full recompute
@@ -314,11 +322,12 @@ def _one_level(
         )
         affected = iterloop.materialize(members.unionByName(in_nbrs).distinct())
 
-    # canonical community ids: min member vertex
-    canon = assign.groupBy("community").agg(F.min("vertex").alias("_canon"))
-    assign = assign.join(
-        iterloop.hint_state_join(canon, n_verts_hint), "community"
-    ).select("vertex", F.col("_canon").alias("community"))
+    if canonical:
+        # canonical community ids: min member vertex
+        canon = assign.groupBy("community").agg(F.min("vertex").alias("_canon"))
+        assign = assign.join(
+            iterloop.hint_state_join(canon, n_verts_hint), "community"
+        ).select("vertex", F.col("_canon").alias("community"))
     assign = iterloop.materialize(assign)
     q_final = (
         modularity_of(edges, assign, resolution, two_m=two_m) if compute_q else None

@@ -78,15 +78,26 @@ def _lanczos_embedding(
         state.select("vertex", (F.col("v1") / F.lit(nrm0 or 1.0)).alias("v1"))
     )
 
+    # Basis columns are stored UNNORMALIZED: ||u_j|| is measured inside
+    # the NEXT step's reorth-dots aggregation (beta_{j-1} == ||u_j||
+    # because each residual is pre-scaled by the previous measured norm),
+    # folding the per-step norm job into the dots job — 2 jobs per step
+    # plus the basis checkpoint instead of 3. Numerics are IDENTICAL to
+    # explicit per-step normalization: every norm is measured, never
+    # derived. (The analytic shortcut ||o||^2 = ||w||^2 - sum d^2 was
+    # tried and drifts once basis orthogonality decays to ~1e-8 —
+    # ghost-eigenvalue territory by step ~17.)
     alphas: list[float] = []
     betas: list[float] = []  # beta_j links v_j and v_{j+1}
+    nsqs: list[float] = []  # nsqs[b-1] = ||u_b||^2, measured at step b
     prev_ritz = None
     n_basis = 1
     with iterloop.small_plan(edges.sparkSession, n_v):
         for j in range(1, m + 1):
             vj = f"v{j}"
             basis = [f"v{i}" for i in range(1, j + 1)]
-            # SpMV: (L v)(u) = v(u) - sum_nbr c_uv v(v)
+            # SpMV: (L u)(x) = u(x) - sum_nbr c_xy u(y) — linear, so it
+            # commutes with the deferred normalization
             av = (
                 norm.join(
                     iterloop.hint_state_join(
@@ -103,23 +114,27 @@ def _lanczos_embedding(
                     "_w", F.col(vj) - F.coalesce("_av", F.lit(0.0))
                 )
             )
-            # alpha + full-reorth coefficients in ONE agg
-            dots = iterloop.collect_scalars(
-                work, [F.sum(F.col("_w") * F.col(b)) for b in basis]
+            # reorth coefficients + ||u_j||^2 in ONE agg
+            res = iterloop.collect_scalars(
+                work,
+                [F.sum(F.col("_w") * F.col(b)) for b in basis]
+                + [F.sum(F.col(vj) ** 2)],
             )
-            alpha = float(dots[-1])
-            alphas.append(alpha)
-            # _o stays a lazy projection over the checkpointed work table
-            # (consumed by the norm agg and the next basis column — both
-            # cheap re-evaluations, no extra checkpoint)
-            ortho = F.col("_w")
-            for b, d in zip(basis, dots):
-                ortho = ortho - F.lit(float(d)) * F.col(b)
-            work = work.withColumn("_o", ortho)
-            (beta,) = iterloop.collect_scalars(
-                work, [F.sqrt(F.sum(F.col("_o") ** 2))]
-            )
-            beta = float(beta or 0.0)
+            dots = [float(d) for d in res[:-1]]
+            nsq_j = float(res[-1] or 0.0)
+            if j >= 2:
+                beta_prev = math.sqrt(nsq_j)  # == beta_{j-1}
+                if beta_prev < 1e-10:
+                    # invariant subspace: u_j is numerically zero — the
+                    # usable basis ends at u_{j-1}
+                    n_basis = j - 1
+                    state = state.select(
+                        "vertex", *[f"v{i}" for i in range(1, j)]
+                    )
+                    break
+                betas.append(beta_prev)
+            nsqs.append(nsq_j)
+            alphas.append(dots[-1] / nsq_j)
 
             # driver-side tridiagonal Ritz values for the convergence test
             T = np.diag(alphas)
@@ -134,19 +149,27 @@ def _lanczos_embedding(
             )
             prev_ritz = ritz
 
-            if beta < 1e-10 or j == m or done:
+            if j == m or done:
                 state = work.select("vertex", *basis)
                 n_basis = j
                 break
-            betas.append(beta)
+            # residual, fully reorthogonalized (coefficients scaled by
+            # the stored columns' measured norms) and pre-scaled by n_j
+            # so ||u_{j+1}|| = beta_j — norms stay O(beta), no geometric
+            # collapse across steps
+            ortho = F.col("_w")
+            for b, d, nb in zip(basis, dots, nsqs):
+                ortho = ortho - F.lit(d / nb) * F.col(b)
             state = iterloop.materialize(
                 work.select(
-                    "vertex", *basis, (F.col("_o") / F.lit(beta)).alias(f"v{j + 1}")
+                    "vertex",
+                    *basis,
+                    (ortho / F.lit(math.sqrt(nsq_j))).alias(f"v{j + 1}"),
                 )
             )
     norm.unpersist()
 
-    # Ritz vectors: y_i = sum_j S[j, i] v_j  (S from the driver-side eig)
+    # Ritz vectors: y_i = sum_j S[j, i] u_j / ||u_j||
     T = np.diag(alphas[:n_basis])
     for i, b in enumerate(betas[: n_basis - 1]):
         T[i, i + 1] = T[i + 1, i] = b
@@ -158,12 +181,14 @@ def _lanczos_embedding(
     for out_i, ti in enumerate(idx):
         expr = F.lit(0.0)
         for bj, b in enumerate(basis):
-            expr = expr + F.lit(float(evecs[bj, ti])) * F.col(b)
+            expr = expr + F.lit(float(evecs[bj, ti]) / math.sqrt(nsqs[bj])) * F.col(b)
         out_cols.append(expr.alias(f"e{out_i}"))
     return iterloop.materialize(state.select("vertex", *out_cols))
 
 
-def _kmeans(emb: DataFrame, k: int, iters: int, seed: int) -> DataFrame:
+def _kmeans(
+    emb: DataFrame, k: int, iters: int, seed: int, tol: float = 1e-6
+) -> DataFrame:
     cols = [c for c in emb.columns if c != "vertex"]
     cents = (
         emb.orderBy(F.xxhash64("vertex", F.lit(seed)))
@@ -187,7 +212,15 @@ def _kmeans(emb: DataFrame, k: int, iters: int, seed: int) -> DataFrame:
             assign.groupBy("cluster").agg(*[F.avg(c).alias(c) for c in cols]).collect()
         )
         by_id = {r["cluster"]: [float(r[c]) for c in cols] for r in new_cents}
-        centroids = [by_id.get(i, centroids[i]) for i in range(k)]
+        new_centroids = [by_id.get(i, centroids[i]) for i in range(k)]
+        moved = max(
+            abs(a - b)
+            for cent, old in zip(new_centroids, centroids)
+            for a, b in zip(cent, old)
+        )
+        centroids = new_centroids
+        if moved < tol:  # Lloyd fixpoint — skip the remaining iterations
+            break
     return assign.select("vertex", "cluster")
 
 
@@ -213,7 +246,7 @@ def spectralBalancedCutClustering(
     k = max(num_eigen_vects, 2)
     steps = min(evs_max_iter, max(2 * k + 12, 20))
     emb = _lanczos_embedding(G, k, steps, evs_tolerance, seed, which="smallest")
-    out = _kmeans(emb, num_clusters, min(kmean_max_iter, 10), seed)
+    out = _kmeans(emb, num_clusters, min(kmean_max_iter, 10), seed, tol=kmean_tolerance)
     return G.unrenumber(out, "vertex")
 
 
