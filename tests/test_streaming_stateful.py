@@ -46,6 +46,83 @@ def test_dedup_stream(spark, tmp_path):
     assert kept["alpha text"] == 1
 
 
+def test_streaming_graph_pipeline_matches_batch(spark, tmp_path):
+    """Composed pipeline (events -> dedup -> edges -> maintained table ->
+    pagerank): after 3 micro-batches with planted cross-batch duplicate
+    event_ids, the PageRank snapshot equals batch PageRank over the
+    deduped union of the same events."""
+    from cugraph_spark import Graph, pagerank
+    from cugraph_spark.streaming.edge_stream import events_to_edges
+    from cugraph_spark.streaming.pipeline import (
+        pagerank_snapshot,
+        start_graph_pipeline,
+    )
+
+    schema_str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batches = [
+        [
+            (1, TS, 100, "click", 2.0, "{}"),
+            (2, TS + dt.timedelta(minutes=1), 101, "purchase", 5.0, "{}"),
+            (3, TS + dt.timedelta(minutes=2), 100, "signup", 1.0, "{}"),
+        ],
+        [
+            (2, TS + dt.timedelta(minutes=3), 101, "purchase", 5.0, "{}"),  # dup
+            (4, TS + dt.timedelta(minutes=4), 102, "click", 3.0, "{}"),
+            (5, TS + dt.timedelta(minutes=5), 101, "error", 7.0, "{}"),
+        ],
+        [
+            (1, TS + dt.timedelta(minutes=6), 100, "click", 2.0, "{}"),  # dup
+            (6, TS + dt.timedelta(minutes=7), 103, "purchase", 4.0, "{}"),
+        ],
+    ]
+    in_dir = tmp_path / "events_in"
+    out_dir = str(tmp_path / "edge_table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = None
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema_str).coalesce(1)
+        df.write.mode("overwrite").parquet(str(in_dir / f"batch{i}.parquet"))
+        schema = schema or spark.read.parquet(str(in_dir / f"batch{i}.parquet")).schema
+        q = start_graph_pipeline(
+            spark, str(in_dir / "*"), ckpt, out_dir, schema=schema
+        )
+        q.awaitTermination(120)
+
+    stream_pr = pagerank_snapshot(spark, out_dir, alpha=0.85, max_iter=30, tol=0.0)
+    assert stream_pr is not None
+
+    # batch reference: union of all batches, deduped on event_id (first
+    # occurrence), same projection + aggregation + pagerank
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema_str
+    )
+    from pyspark.sql.window import Window
+
+    first = (
+        union.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("event_id").orderBy("ts")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    agg = (
+        events_to_edges(first)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    g = Graph(directed=True)
+    g.from_edgelist(agg, "src", "dst", weight="weight")
+    batch_pr = pagerank(g, alpha=0.85, max_iter=30, tol=0.0, fail_on_nonconvergence=False)
+
+    got = {r["vertex"]: r["pagerank"] for r in stream_pr.collect()}
+    want = {r["vertex"]: r["pagerank"] for r in batch_pr.collect()}
+    assert set(got) == set(want)
+    for v, p in want.items():
+        assert got[v] == pytest.approx(p, abs=1e-9)
+
+
 def test_vertex_stats_stream(spark, tmp_path):
     rows = [
         (10, 20, 1.0, TS),
