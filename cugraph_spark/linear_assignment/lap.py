@@ -263,8 +263,7 @@ def hungarian_auction(
                 (n_owned,) = iterloop.collect_scalars(
                     new_state, [F.count("_owner")]
                 )
-                progressed = new_state
-                state = progressed
+                state = new_state
                 sweeps += 1
                 if n_owned >= n_workers:
                     break

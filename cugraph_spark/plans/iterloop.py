@@ -116,10 +116,16 @@ def persist(df: DataFrame) -> DataFrame:
 # Measured at R-MAT scale-22 (2.4M vertices, 128M edges, warm arms of an
 # in-session A/B): wcc 67s broadcast vs 98s shuffle (the per-round
 # V-sized state re-shuffles disappear), pagerank within noise either
-# way — so the threshold sits above scale-22's vertex count. Earlier A/B
-# at 646k vertices showed dropping the threshold to 200k costs 30-80%,
-# i.e. broadcast keeps winning throughout the measurable range.
-BROADCAST_STATE_MAX_ROWS = 8_000_000
+# way. The round-3 scale-23 A/B (4.61M vertices, 258.7M edges) flipped
+# the verdict for the per-iteration full-V-state loops: pagerank 199s
+# broadcast vs 138s sort-merge, sssp 114s vs 49s (the driver-side
+# broadcast build of a 4.6M-row table per ITERATION is the serial
+# bottleneck), bfs unchanged (frontier-sized broadcasts), wcc mildly
+# pro-broadcast (172s vs 188s — its label-map join keeps its own skew
+# cap below). Threshold set between the measured-good 2.4M and
+# measured-bad 4.6M. Earlier A/B at 646k vertices showed dropping it to
+# 200k costs 30-80%, i.e. broadcast wins throughout the small range.
+BROADCAST_STATE_MAX_ROWS = 3_000_000
 
 
 @contextmanager

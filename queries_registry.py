@@ -2334,7 +2334,7 @@ def q_leiden_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.select("vertex", F.col("partition").alias("community")), "vertex"
     )
     edges = g.edgelist.select("src", "dst", F.lit(1.0).alias("_w"))
-    split = _split_disconnected(edges, assign)
+    split = _split_disconnected(edges, assign, n_hint=g.number_of_vertices())
     n_pieces = split.select("community").distinct().count()
     n_comms = assign.select("community").distinct().count()
     n_vertices = parts.count()
