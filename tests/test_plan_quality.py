@@ -91,6 +91,69 @@ def test_iterative_join_broadcasts_vertex_state(spark):
 
 
 @needs_testdata
+def test_sortmerge_state_join_reuses_cached_edge_partitioning(spark, monkeypatch):
+    """Above BROADCAST_STATE_MAX_ROWS the per-iteration state join falls
+    back to sort-merge — and the cached edge side (hash-partitioned on
+    src, sorted within partitions at build) must feed it with NO fresh
+    Exchange and NO fresh Sort. Only the V-sized state side may shuffle.
+    This is the scale-23 regime the round-3 A/B landed (pagerank 199s ->
+    138s, sssp 114s -> 49s); a re-exchange of the edge table per
+    iteration silently doubles the dominant cost."""
+    from cugraph_spark import Graph
+    from cugraph_spark.plans import iterloop
+    from cugraph_spark.structure import graph as graph_mod
+
+    monkeypatch.setattr(iterloop, "BROADCAST_STATE_MAX_ROWS", 0)
+    # at test SF the partition right-sizing packs the cache into ONE
+    # partition (SinglePartition can't satisfy a hash requirement, both
+    # sides would exchange); shrink the byte target so the cache gets a
+    # genuine hashpartitioning(src, N>1) like any at-scale build
+    monkeypatch.setattr(graph_mod, "_EDGE_PARTITION_TARGET_BYTES", 64 * 1024)
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = lineitem.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    g = Graph(directed=False)
+    g.from_edgelist(edges, "src", "dst")
+    ranks = iterloop.materialize(
+        g.vertices_internal.select("vertex", F.lit(1.0).alias("_rank"))
+    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # at test SF the cached edge table is tiny and Spark would broadcast
+    # IT; at scale it never would — disable auto-broadcast to reproduce
+    # the at-scale join shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        msgs = (
+            g.edgelist.join(
+                iterloop.hint_state_join(
+                    ranks.select(F.col("vertex").alias("src"), "_rank"),
+                    g.number_of_vertices(),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("_rank").alias("_in"))
+        )
+        plan = _plan(msgs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abj)
+    assert "SortMergeJoin" in plan, plan
+    # The edge child (printed first under the join) must be exchange-free
+    # AND sort-free down to its InMemoryTableScan: the cached
+    # hashpartitioning(src, N) + sortWithinPartitions(src, dst) satisfy
+    # the join requirement directly. The state side (printed after the
+    # full edge subtree) legitimately exchanges.
+    edge_child = plan.split("SortMergeJoin", 1)[1].split("InMemoryTableScan", 1)[0]
+    assert "Exchange" not in edge_child, plan
+    assert "Sort " not in edge_child, plan
+    g.edgelist.unpersist()
+
+
+@needs_testdata
 def test_hot_path_stays_in_wholestage_codegen(spark):
     """Degree counting (the canonical edge aggregation) must run inside
     whole-stage codegen — no row-at-a-time Python in the hot path."""
