@@ -43,13 +43,18 @@ from ..structure.graph import Graph
 from ..structure.symmetrize import add_reverse_edges
 
 
-# Broadcast cap for the per-round label->root map (16 bytes/row: 8M rows
-# ~ 128 MB). Distinct from iterloop.BROADCAST_STATE_MAX_ROWS because the
-# label-keyed join it protects is SKEWED (giant component), so broadcast
-# stays worth it far past the point where unskewed state joins should
-# fall back to co-partitioned shuffles. Above the cap the join falls back
-# to sort-merge and relies on AQE skew splitting.
-_LABELMAP_BROADCAST_MAX_ROWS = 8_000_000
+# Broadcast cap for the per-round label->root map (16 bytes/row).
+# Distinct from iterloop.BROADCAST_STATE_MAX_ROWS because the label-keyed
+# join it protects is SKEWED (giant component): below the cap broadcast
+# is the skew-immune plan (scale-22, 2.4M labels, AQE-off small-plan
+# regime: 237s shuffle-melt -> 67s broadcast). Above it the driver-side
+# broadcast build becomes the serial bottleneck and the join falls back
+# to sort-merge with AQE skew splitting — which is exactly the regime
+# where small_plan leaves AQE ON (V above the state threshold). Measured
+# at scale-23 (4.61M labels): 206.5s broadcast vs 99.4s sort-merge+AQE.
+# The cap sits between the two measurements, aligned with the state
+# threshold.
+_LABELMAP_BROADCAST_MAX_ROWS = 3_000_000
 
 
 def _skew_safe_hint(df: DataFrame, n_rows: int | None):
