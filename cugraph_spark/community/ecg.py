@@ -53,6 +53,18 @@ def ecg(
         shuffled_rows=G.number_of_edges(directed_edges=True),
     )
     with _small:
+      # isolated-vertex set is topology-only — compute once for the whole
+      # ensemble instead of once per member (3 jobs/member saved)
+      verts = base.groupBy(F.col(SRC).alias("vertex")).agg(F.lit(1))
+      iso = iterloop.materialize(
+          verts.select("vertex").join(
+              base.filter(F.col(SRC) != F.col(DST)).select(F.col(SRC).alias("vertex")),
+              "vertex",
+              "left_anti",
+          )
+      )
+      (n_iso,) = iterloop.collect_scalars(iso, [F.count("*")])
+      iso_arg = iso if n_iso else False
       for i in range(ensemble_size):
         # jitter: permute effective tie-breaks by hashing vertex ids with
         # the run index (one-level louvain is tie-break sensitive, which
@@ -62,17 +74,26 @@ def ecg(
             / 1e9
         )
         jittered = base.select(SRC, DST, (F.col("_w") * (1.0 + jitter)).alias("_w"))
-        assign, _ = _one_level(jittered, resolution, 3, threshold)
+        # canonical=False: the vote only compares label EQUALITY within
+        # one member's assignment, so the min-member relabel is skipped
+        assign, _ = _one_level(
+            jittered, resolution, 3, threshold,
+            compute_q=False, canonical=False, precomputed_iso=iso_arg,
+        )
         co = (
             base.select(SRC, DST)
             .join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_ca")), SRC)
             .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cb")), DST)
             .select(SRC, DST, (F.col("_ca") == F.col("_cb")).cast("int").alias("_co"))
         )
-        votes = iterloop.materialize(
+        # votes accumulate LAZILY over the checkpointed member assigns —
+        # one E-sized checkpoint at the end instead of one per member
+        # (lineage depth = ensemble_size joins over checkpointed inputs)
+        votes = (
             votes.join(co, [SRC, DST])
             .select(SRC, DST, (F.col("_votes") + F.col("_co")).alias("_votes"))
         )
+      votes = iterloop.materialize(votes)
 
     reweighted = votes.select(
         SRC, DST,

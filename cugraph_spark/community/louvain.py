@@ -136,6 +136,7 @@ def _one_level(
     compute_q: bool = True,
     n_edges: int | None = None,
     canonical: bool = True,
+    precomputed_iso: "DataFrame | None | bool" = None,
 ):
     """Local-move passes on one graph level.
 
@@ -171,18 +172,28 @@ def _one_level(
     # Vertices with no non-loop edge never appear in `best` (no w_iC rows)
     # and never move; carrying them statically lets each pass derive the
     # next assignment as a pure projection of the checkpointed `best`
-    # instead of paying a second checkpoint job per pass.
-    iso = iterloop.materialize(
-        deg.select("vertex").join(
-            edges.filter(F.col(SRC) != F.col(DST)).select(F.col(SRC).alias("vertex")),
-            "vertex",
-            "left_anti",
+    # instead of paying a second checkpoint job per pass. The set is
+    # topology-only, so ensemble callers (ecg) pass it in once:
+    # ``precomputed_iso=False`` means "known empty", a DataFrame is the
+    # (vertex,) set itself.
+    if precomputed_iso is None:
+        iso = iterloop.materialize(
+            deg.select("vertex").join(
+                edges.filter(F.col(SRC) != F.col(DST)).select(F.col(SRC).alias("vertex")),
+                "vertex",
+                "left_anti",
+            )
         )
-    )
-    (n_iso,) = iterloop.collect_scalars(iso, [F.count("*")])
-    iso_assign = (
-        iso.select("vertex", F.col("vertex").alias("community")) if n_iso else None
-    )
+        (n_iso,) = iterloop.collect_scalars(iso, [F.count("*")])
+        iso_assign = (
+            iso.select("vertex", F.col("vertex").alias("community")) if n_iso else None
+        )
+    elif precomputed_iso is False:
+        iso_assign = None
+    else:
+        iso_assign = precomputed_iso.select(
+            "vertex", F.col("vertex").alias("community")
+        )
 
     frontier_ok = n_edges is not None and n_edges > _FRONTIER_MIN_EDGES
     best_prev = None  # cached (vertex, community, _best, _gain, _curgain)

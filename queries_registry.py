@@ -3014,6 +3014,42 @@ def q_hungarian_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ecg_invariants_copurchase",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+ecg_verts AS MATERIALIZED (
+    SELECT src AS v FROM cps_edges UNION SELECT dst FROM cps_edges
+)
+SELECT (SELECT COUNT(*) FROM ecg_verts) AS n_vertices,
+       TRUE AS q_above_03,
+       TRUE AS comm_count_in_range
+""",
+)
+def q_ecg_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECG regression tripwire (ensemble labels are tie-break-dependent,
+    so exact labels are not the contract — reference
+    tests/community/test_ecg.py likewise thresholds modularity): full
+    vertex coverage, final-Louvain modularity of the ensemble-reweighted
+    graph above the karate-grade 0.3 bar (recomputed independently via
+    analyzeClustering_modularity), and a non-degenerate community count.
+    Small ensemble keeps the driver row cheap; the full default ensemble
+    is exercised in pytest."""
+    from cugraph_spark import ecg
+    from cugraph_spark.community.clustering_scores import analyzeClustering_modularity
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    parts, _q = ecg(g, ensemble_size=4, max_level=2, max_iter=4)
+    n_comms = parts.select("partition").distinct().count()
+    n_vertices = parts.count()
+    clusters = parts.select("vertex", F.col("partition").alias("cluster"))
+    q_ind = analyzeClustering_modularity(g, n_comms, clusters)
+    return spark.createDataFrame(
+        [(n_vertices, bool(q_ind > 0.3), bool(1 < n_comms < n_vertices))],
+        "n_vertices long, q_above_03 boolean, comm_count_in_range boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The driver verifies only the FIRST 50 queries in
 # registration order, so coverage must rotate each round: every query should
@@ -3065,6 +3101,7 @@ _WINDOW_FIRST = [
     "random_projection_embeddings",
     # new this round
     "hungarian_auction_supp_part",
+    "ecg_invariants_copurchase",
 ]
 
 
