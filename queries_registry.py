@@ -3015,6 +3015,108 @@ def q_hungarian_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_documents",
+    oracle="""
+WITH njt AS MATERIALIZED (SELECT doc_id, text FROM documents),
+njg AS MATERIALIZED (
+    SELECT DISTINCT doc_id, substring(text, i, 3) AS shingle
+    FROM njt, (SELECT unnest(generate_series(1, 200000)) AS i) idx
+    WHERE i <= greatest(length(text) - 2, 1)
+),
+njs AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM njg GROUP BY doc_id),
+njp AS MATERIALIZED (
+    SELECT a.doc_id AS first, b.doc_id AS second
+    FROM njt a JOIN njt b ON b.doc_id = a.doc_id + 1
+),
+nji AS MATERIALIZED (
+    SELECT p.first, p.second, COUNT(*) AS i
+    FROM njp p
+    JOIN njg ga ON ga.doc_id = p.first
+    JOIN njg gb ON gb.doc_id = p.second AND gb.shingle = ga.shingle
+    GROUP BY 1, 2
+)
+SELECT p.first, p.second,
+       ROUND(COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)), 6)
+           AS jaccard
+FROM njp p
+JOIN njs sa ON sa.doc_id = p.first
+JOIN njs sb ON sb.doc_id = p.second
+LEFT JOIN nji i ON i.first = p.first AND i.second = p.second
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram jaccard verification for candidate pairs
+    (here: consecutive doc ids, a deterministic pair set that exercises
+    the full shingle-explode + intersection-join path). Hash-matched to
+    6 dp against an independent DuckDB set computation."""
+    from cugraph_spark.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        docs.select(F.col("doc_id").alias("first"))
+        .join(
+            docs.select((F.col("doc_id") - 1).alias("first")),
+            "first",
+            "semi",
+        )
+        .select("first", (F.col("first") + 1).alias("second"))
+    )
+    out = ngram_jaccard_pairs(docs, pairs, n=3)
+    return out.select("first", "second", F.round("jaccard", 6).alias("jaccard"))
+
+
+# synthetic embeddings carry no true near-dups (max in-bucket cosine at
+# sf0.01 is 0.448); 0.25 keeps a few dozen verified pairs so the hash
+# compare checks real rows, not an empty set
+EMBED_ND_THRESHOLD = 0.25
+EMBED_ND_PLANES = 8
+
+
+def _embed_near_dup_oracle() -> str:
+    from cugraph_spark.pipelines.similarity_search import _hyperplanes
+
+    planes = _hyperplanes(64, EMBED_ND_PLANES, 42)
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH end_c AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS bucket FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS first, b.vec_id AS second, ROUND({cos}, 6) AS cosine
+FROM end_c a JOIN end_c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {EMBED_ND_THRESHOLD}
+"""
+
+
+@register("embed_near_dup_embeddings", oracle=_embed_near_dup_oracle())
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-duplicate pairs (all hyperplane signs
+    agree -> candidate; exact cosine filter). A pure function of
+    (embeddings, seed): the oracle embeds the same driver-generated
+    hyperplanes as SQL literals and mirrors the bucket join."""
+    from cugraph_spark.pipelines.similarity_search import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    out = embedding_near_duplicates(
+        emb, threshold=EMBED_ND_THRESHOLD, n_planes=EMBED_ND_PLANES
+    )
+    return out.select("first", "second", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
     "ecg_invariants_copurchase",
     oracle=f"""
 WITH {COPURCHASE_SPARSE_SQL.strip()},
@@ -3102,6 +3204,8 @@ _WINDOW_FIRST = [
     # new this round
     "hungarian_auction_supp_part",
     "ecg_invariants_copurchase",
+    "ngram_jaccard_documents",
+    "embed_near_dup_embeddings",
 ]
 
 
