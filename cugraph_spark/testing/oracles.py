@@ -295,6 +295,66 @@ def neighbor_sample_oracle_sql(
     return f"WITH {', '.join(defs)} {' UNION ALL '.join(layer_selects)}"
 
 
+def hetero_neighbor_sample_oracle_sql(
+    fixture_cte: str,
+    edges_name: str,
+    n_starts: int,
+    fanouts_by_type: dict,
+    type_col: str = "etype",
+    starts_where: str = "TRUE",
+    random_state: int = 42,
+) -> str:
+    """Exact oracle for ``heterogeneous_neighbor_sample(G, starts,
+    fanouts_by_type, with_batch_ids=True)`` on an identity-renumbered
+    directed typed graph.
+
+    Mirrors sampling/neighbor_sample.py:208 — one independent
+    homogeneous sample per edge type over the type-filtered edge list
+    (same start set and batch ids for every type, same per-hop
+    xxhash64(src, dst, hop, seed, batch_id) pick), outputs unioned with
+    the edge_type column carried through."""
+    defs = [
+        fixture_cte.strip().strip(","),
+        f"hns_starts AS MATERIALIZED (SELECT vertex, (ROW_NUMBER() OVER (ORDER BY vertex) - 1)::INT"
+        f" AS batch_id FROM (SELECT DISTINCT src AS vertex FROM {edges_name}"
+        f" WHERE {starts_where} ORDER BY vertex LIMIT {n_starts}))",
+    ]
+    selects = []
+    for et in sorted(fanouts_by_type):
+        fans = fanouts_by_type[et]
+        prev = "hns_starts"
+        for hop, fanout in enumerate(fans):
+            cand = f"hns_t{et}_cand{hop}"
+            defs.append(
+                f"{cand} AS MATERIALIZED (SELECT f.batch_id, e.src, e.dst FROM {prev} f"
+                f" JOIN {edges_name} e ON e.src = f.vertex AND e.{type_col} = {et})"
+            )
+            steps, h = xxhash64_steps(
+                f"hn{et}_{hop}",
+                [("src", "long"), ("dst", "long"), (str(hop), "int"),
+                 (str(random_state), "int"), ("batch_id", "int")],
+                seed=42,
+            )
+            hash_defs, hashed = cte_chain(cand, steps, f"hnh{et}_{hop}_")
+            defs += hash_defs
+            layer = f"hns_t{et}_layer{hop}"
+            defs.append(
+                f"{layer} AS MATERIALIZED (SELECT batch_id, src AS majors, dst AS minors"
+                f" FROM {hashed} QUALIFY ROW_NUMBER() OVER (PARTITION BY batch_id, src"
+                f" ORDER BY {to_i64(h)}) <= {fanout})"
+            )
+            selects.append(
+                f"SELECT majors, minors, {et}::INT AS edge_type, batch_id,"
+                f" {hop}::INT AS hop_id FROM {layer}"
+            )
+            nxt = f"hns_t{et}_front{hop + 1}"
+            defs.append(
+                f"{nxt} AS MATERIALIZED (SELECT DISTINCT minors AS vertex, batch_id FROM {layer})"
+            )
+            prev = nxt
+    return f"WITH {', '.join(defs)} {' UNION ALL '.join(selects)}"
+
+
 def mis_oracle_sql(
     fixture_cte: str, edges_name: str, rounds: int, seed: int = 42
 ) -> str:

@@ -3116,6 +3116,58 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("first", "second", F.round("cosine", 6).alias("cosine"))
 
 
+HNS_SQL = f"""
+hns_edges AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS src,
+           l.l_suppkey + {SUPP_OFFSET} AS dst,
+           CAST(l.l_suppkey % 2 AS INT) AS etype
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 45
+)
+"""
+
+HNS_FANOUTS = {0: [2, 2], 1: [3, 1]}
+
+
+def _hetero_ns_oracle() -> str:
+    from cugraph_spark.testing.oracles import hetero_neighbor_sample_oracle_sql
+
+    return hetero_neighbor_sample_oracle_sql(
+        HNS_SQL, "hns_edges", 8, HNS_FANOUTS
+    )
+
+
+@register("hetero_neighbor_sample_cust_supp", oracle=_hetero_ns_oracle())
+def q_hetero_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous (per-edge-type fanout) neighbor sampling on a typed
+    customer->supplier graph — per-type independent samples with shared
+    start batches, exact cross-engine xxhash64 pick oracle."""
+    from cugraph_spark import Graph, heterogeneous_neighbor_sample
+
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    edges = (
+        l.filter(F.col("l_quantity") > 45)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+            (F.col("l_suppkey") % 2).cast("int").alias("etype"),
+        )
+        .distinct()
+    )
+    g = Graph(directed=True)
+    g.from_edgelist(edges, "src", "dst", edge_type="etype")
+    starts = [
+        r["vertex"]
+        for r in g.nodes().filter(F.col("vertex") < SUPP_OFFSET)
+        .orderBy("vertex").limit(8).collect()
+    ]
+    return heterogeneous_neighbor_sample(
+        g, starts, HNS_FANOUTS, with_batch_ids=True
+    )
+
+
 @register(
     "ecg_invariants_copurchase",
     oracle=f"""
@@ -3206,6 +3258,7 @@ _WINDOW_FIRST = [
     "ecg_invariants_copurchase",
     "ngram_jaccard_documents",
     "embed_near_dup_embeddings",
+    "hetero_neighbor_sample_cust_supp",
 ]
 
 
