@@ -3169,6 +3169,71 @@ def q_hetero_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustering_scores_nation",
+    oracle=f"""
+WITH {NATION_FLOW_SQL.strip()},
+csn_und AS MATERIALIZED (
+    SELECT least(src, dst) AS u, greatest(src, dst) AS v, MIN(weight) AS w
+    FROM nf_edges GROUP BY 1, 2
+),
+csn_sym AS MATERIALIZED (
+    SELECT u AS src, v AS dst, w FROM csn_und
+    UNION ALL
+    SELECT v AS src, u AS dst, w FROM csn_und WHERE u <> v
+),
+csn_e AS MATERIALIZED (
+    SELECT src, dst, w, src % 4 AS cs, dst % 4 AS cd FROM csn_sym
+),
+csn_2m AS MATERIALIZED (SELECT SUM(w) AS m2 FROM csn_e),
+csn_sig AS MATERIALIZED (SELECT cs, SUM(w) AS sig FROM csn_e GROUP BY cs),
+csn_in AS MATERIALIZED (
+    SELECT cs, SUM(w) AS inw FROM csn_e WHERE cs = cd GROUP BY cs
+),
+csn_verts AS MATERIALIZED (
+    SELECT DISTINCT src AS vertex FROM csn_sym
+),
+csn_n AS MATERIALIZED (
+    SELECT vertex % 4 AS cs, COUNT(*) AS n FROM csn_verts GROUP BY 1
+),
+csn_cut AS MATERIALIZED (
+    SELECT cs, SUM(w) AS cut FROM csn_e WHERE cs <> cd GROUP BY cs
+)
+SELECT
+    ROUND((SELECT SUM(COALESCE(i.inw, 0) / m.m2 - POW(s.sig / m.m2, 2))
+           FROM csn_sig s LEFT JOIN csn_in i ON i.cs = s.cs, csn_2m m), 6)
+        AS modularity,
+    ROUND((SELECT COALESCE(SUM(w), 0) / 2.0 FROM csn_e WHERE cs <> cd), 6)
+        AS edge_cut,
+    ROUND((SELECT SUM(COALESCE(c.cut, 0) * 1.0 / n.n)
+           FROM csn_n n LEFT JOIN csn_cut c ON c.cs = n.cs), 6)
+        AS ratio_cut
+""",
+)
+def q_clustering_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-value check of the three clustering-analysis scores on the
+    undirected nation-flow graph with the fixed clustering
+    cluster(v) = v % 4; the oracle recomputes modularity / edge-cut /
+    ratio-cut from the min-weight-symmetrized edge list in SQL."""
+    from cugraph_spark.community.clustering_scores import (
+        analyzeClustering_edge_cut,
+        analyzeClustering_modularity,
+        analyzeClustering_ratio_cut,
+    )
+
+    g = nation_flow_graph(spark, sf_dir, directed=False)
+    clustering = g.nodes().select(
+        F.col("vertex"), (F.col("vertex") % 4).alias("cluster")
+    )
+    q = analyzeClustering_modularity(g, 4, clustering)
+    cut = analyzeClustering_edge_cut(g, 4, clustering)
+    rcut = analyzeClustering_ratio_cut(g, 4, clustering)
+    return spark.createDataFrame(
+        [(round(q, 6), round(cut, 6), round(rcut, 6))],
+        "modularity double, edge_cut double, ratio_cut double",
+    )
+
+
+@register(
     "ecg_invariants_copurchase",
     oracle=f"""
 WITH {COPURCHASE_SPARSE_SQL.strip()},
@@ -3259,6 +3324,7 @@ _WINDOW_FIRST = [
     "ngram_jaccard_documents",
     "embed_near_dup_embeddings",
     "hetero_neighbor_sample_cust_supp",
+    "clustering_scores_nation",
 ]
 
 
