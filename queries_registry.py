@@ -3168,6 +3168,40 @@ def q_hetero_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SRV_SEED = 77
+SRV_K = 25
+
+
+def _select_random_vertices_oracle() -> str:
+    from cugraph_spark.testing.xxh_sql import cte_chain, to_i64, xxhash64_steps
+
+    steps, h = xxhash64_steps(
+        "srv", [("vertex", "long"), (str(SRV_SEED), "int")], seed=42
+    )
+    defs = [
+        CUST_SUPP_SQL.strip().strip(","),
+        "srv_v AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM cs_edges)",
+    ]
+    hash_defs, hashed = cte_chain("srv_v", steps, "srvh_")
+    defs += hash_defs
+    return (
+        f"WITH {', '.join(defs)}"
+        f" SELECT vertex FROM {hashed} ORDER BY {to_i64(h)} LIMIT {SRV_K}"
+    )
+
+
+@register(
+    "select_random_vertices_cust_supp",
+    oracle=_select_random_vertices_oracle(),
+)
+def q_select_random_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform vertex sample (simpleGraph.py:932) — xxhash64
+    priority order replicated bit-for-bit in the DuckDB oracle, so the
+    exact 25-vertex draw matches across engines."""
+    g = cust_supp_graph(spark, sf_dir)
+    return g.select_random_vertices(SRV_SEED, SRV_K)
+
+
 @register(
     "clustering_scores_nation",
     oracle=f"""
@@ -3325,6 +3359,7 @@ _WINDOW_FIRST = [
     "embed_near_dup_embeddings",
     "hetero_neighbor_sample_cust_supp",
     "clustering_scores_nation",
+    "select_random_vertices_cust_supp",
 ]
 
 
