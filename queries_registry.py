@@ -3168,6 +3168,67 @@ def q_hetero_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_PATHS_DESTS = 15
+
+
+def _bfs_paths_oracle(edges_cte: str, edges_name: str, source: int, depth: int) -> str:
+    """Path-reconstruction oracle: the unrolled min-predecessor BFS CTEs
+    (same text as _bfs_unrolled_sql) followed by ``depth+1`` prepend
+    rounds mirroring traversal/path_retrieval.py:extract_bfs_paths."""
+    bfs_body = _bfs_unrolled_sql(edges_cte, edges_name, source, depth)
+    head, final_select = bfs_body.rsplit("SELECT vv.v AS vertex", 1)
+    parts = [
+        head.rstrip().rstrip(",") + ",",
+        f"bp_bfs AS MATERIALIZED (SELECT vv.v AS vertex{final_select.strip()}),",
+        f"bp_dests AS MATERIALIZED (SELECT v FROM verts WHERE v < {SUPP_OFFSET}"
+        f" ORDER BY v LIMIT {BFS_PATHS_DESTS}),",
+        "bp_p0 AS MATERIALIZED (SELECT v AS destination, CAST(v AS VARCHAR) AS path,"
+        " v AS cur, FALSE AS done FROM bp_dests),",
+    ]
+    for i in range(depth + 1):
+        parts.append(
+            f"""bp_p{i + 1} AS MATERIALIZED (
+  SELECT p.destination,
+         CASE WHEN p.done OR b.predecessor IS NULL OR b.predecessor = -1
+              THEN p.path
+              ELSE CAST(b.predecessor AS VARCHAR) || '-' || p.path END AS path,
+         CASE WHEN p.done OR b.predecessor IS NULL OR b.predecessor = -1
+              THEN p.cur ELSE b.predecessor END AS cur,
+         (p.done OR b.predecessor IS NULL OR b.predecessor = -1) AS done
+  FROM bp_p{i} p LEFT JOIN bp_bfs b ON b.vertex = p.cur
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"\nSELECT destination, path AS path_str FROM bp_p{depth + 1}"
+
+
+@register("bfs_paths_cust_supp", oracle=None)
+def q_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_bfs_paths verification: full source->destination paths for
+    the first 15 customers, rebuilt from the min-predecessor BFS tree;
+    paths emitted as '-'-joined strings (driver canonicalizer cannot
+    hash arrays)."""
+    from cugraph_spark import bfs
+    from cugraph_spark.traversal.path_retrieval import extract_bfs_paths
+
+    g = cust_supp_graph(spark, sf_dir)
+    res = bfs(g, 1)
+    dests = [
+        r["vertex"]
+        for r in g.nodes().filter(F.col("vertex") < SUPP_OFFSET)
+        .orderBy("vertex").limit(BFS_PATHS_DESTS).collect()
+    ]
+    out = extract_bfs_paths(res, dests)
+    return out.select(
+        "destination", F.array_join("path", "-").alias("path_str")
+    )
+
+
+ORACLES["bfs_paths_cust_supp"] = _bfs_paths_oracle(
+    CUST_SUPP_SQL, "cs_edges", 1, BFS_DEPTH
+)
+
+
 SRV_SEED = 77
 SRV_K = 25
 
@@ -3360,6 +3421,7 @@ _WINDOW_FIRST = [
     "hetero_neighbor_sample_cust_supp",
     "clustering_scores_nation",
     "select_random_vertices_cust_supp",
+    "bfs_paths_cust_supp",
 ]
 
 
