@@ -125,18 +125,20 @@ def leiden(
             )
             # the Leiden guarantee
             assign = _split_disconnected(edges, assign, n_hint=n_hint)
-            q = modularity_of(edges, assign, resolution, two_m=two_m)
             mapping = iterloop.materialize(
                 mapping.join(
                     assign.select(F.col("vertex").alias("community"), F.col("community").alias("_n")),
                     "community",
                 ).select("vertex", F.col("_n").alias("community"))
             )
-            q_final = q
             n_comms, n_verts = iterloop.collect_scalars(
                 assign, [F.countDistinct("community"), F.count("*")]
             )
             if n_comms == n_verts or level == max_level - 1:
+                # only the exit level's modularity is reported — skip
+                # the two-job Q pass on intermediate levels (the local
+                # tail below reports its own Q when it takes over)
+                q_final = modularity_of(edges, assign, resolution, two_m=two_m)
                 break
             edges = iterloop.materialize(
                 edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)

@@ -379,8 +379,12 @@ def louvain(
         shuffled_rows=n_level_edges,
     ):
         for level in range(max_level):
-            assign, q = _one_level(
-                edges, resolution, max_iter, threshold, n_edges=n_level_edges
+            # compute_q=False: only the EXIT level's modularity is
+            # reported, so intermediate levels skip the two-job Q pass
+            # and Q is computed once at each break point below
+            assign, _ = _one_level(
+                edges, resolution, max_iter, threshold,
+                compute_q=False, n_edges=n_level_edges,
             )
             mapping = iterloop.materialize(
                 mapping.join(
@@ -391,8 +395,8 @@ def louvain(
             n_comms, n_verts = iterloop.collect_scalars(
                 assign, [F.countDistinct("community"), F.count("*")]
             )
-            q_final = q
             if n_comms == n_verts or level == max_level - 1:
+                q_final = modularity_of(edges, assign, resolution)
                 break
             # coarsen: contract communities (cpp graph_contraction :267)
             edges = iterloop.materialize(
