@@ -2826,6 +2826,8 @@ def q_fa2_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.from_edgelist(e, "src", "dst", weight="weight")
     radii = g.nodes().select(F.col("vertex"), F.lit(1.0).alias("radius"))
     kw = dict(
+        # 8 iterations is the measured minimum for prevent_overlapping to
+        # fully separate the 25-vertex layout (6 leaves residual overlap)
         max_iter=8,
         barnes_hut_optimize=False,
         prevent_overlapping=True,
