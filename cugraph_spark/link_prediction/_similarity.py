@@ -48,12 +48,12 @@ def _check(G: Graph, use_weight: bool):
         raise ValueError("input_graph must be weighted if use_weight=True")
 
 
-def _pair_similarity(
-    G: Graph, pairs_internal: DataFrame, metric: str, use_weight: bool
-) -> DataFrame:
-    """pairs_internal: (first, second) internal ids. Returns
-    (first, second, {metric}_coeff) — still internal ids."""
-    coeff_col = f"{metric}_coeff"
+def _pair_base(G: Graph, pairs_internal: DataFrame, use_weight: bool) -> DataFrame:
+    """Shared similarity base: (first, second, _i, _da, _db) — the
+    intersection size and the two endpoint degrees, computed with ONE
+    intersection join. Every metric is a pure expression over these three
+    columns, so computing several metrics at once (similarity_matrix) costs
+    the same single shuffle as one metric."""
     e = G.edgelist
 
     if use_weight:
@@ -79,18 +79,65 @@ def _pair_similarity(
 
     da = deg.select(F.col("_v").alias("first"), F.col("_d").alias("_da"))
     db = deg.select(F.col("_v").alias("second"), F.col("_d").alias("_db"))
-    out = (
+    return (
         pairs_internal.join(inter, ["first", "second"], "left")
         .join(da, "first")
         .join(db, "second")
         .select(
             "first",
             "second",
-            FORMULAS[metric](
-                F.coalesce(F.col("_i"), F.lit(0.0)), F.col("_da"), F.col("_db")
-            ).alias(coeff_col),
+            F.coalesce(F.col("_i"), F.lit(0.0)).alias("_i"),
+            "_da",
+            "_db",
         )
     )
+
+
+def _pair_similarity(
+    G: Graph, pairs_internal: DataFrame, metric: str, use_weight: bool
+) -> DataFrame:
+    """pairs_internal: (first, second) internal ids. Returns
+    (first, second, {metric}_coeff) — still internal ids."""
+    base = _pair_base(G, pairs_internal, use_weight)
+    return base.select(
+        "first",
+        "second",
+        FORMULAS[metric](F.col("_i"), F.col("_da"), F.col("_db")).alias(
+            f"{metric}_coeff"
+        ),
+    )
+
+
+def similarity_matrix(
+    G: Graph,
+    metrics=("jaccard", "overlap", "sorensen", "cosine"),
+    vertex_pair: Optional[DataFrame] = None,
+    use_weight: bool = False,
+) -> DataFrame:
+    """All requested similarity coefficients in ONE pass: the
+    neighbor-intersection join and the degree aggregation run once, and
+    each metric is a column expression over (|∩|, d_a, d_b). At scale this
+    replaces N intersection shuffles with 1 — use it whenever more than one
+    metric is needed on the same pair set."""
+    _check(G, use_weight)
+    if vertex_pair is None:
+        pairs = two_hop_pairs_internal(G)
+    else:
+        c1, c2 = vertex_pair.columns[:2]
+        pairs = vertex_pair.select(F.col(c1).alias("first"), F.col(c2).alias("second"))
+        pairs = G.renumber_vertices(pairs, "first")
+        pairs = G.renumber_vertices(pairs, "second")
+    base = _pair_base(G, pairs, use_weight)
+    out = base.select(
+        "first",
+        "second",
+        *[
+            FORMULAS[m](F.col("_i"), F.col("_da"), F.col("_db")).alias(f"{m}_coeff")
+            for m in metrics
+        ],
+    )
+    out = G.unrenumber(out, "first")
+    out = G.unrenumber(out, "second")
     return out
 
 

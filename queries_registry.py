@@ -3367,74 +3367,812 @@ def q_ecg_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation. The driver verifies only the FIRST 50 queries in
-# registration order, so coverage must rotate each round: every query should
-# earn a green driver row at least once every two rounds.
+# Registry consolidation (round 4) — end of the window-rotation treadmill.
 #
-# _WINDOW_FIRST lists the queries that MUST be in this round's window:
-#   round 3 = the 19 queries that fell outside round 2's window (r02 had
-#   registered the new pipeline queries mid-file), the two rows that were
-#   red in r02 for canonicalization reasons (pack_sequences,
-#   random_projection — both fixed this round), louvain's main query so it
-#   sits beside its invariant oracle, the cross-engine-PRNG queries
-#   (random_walks / neighbor_sample — permanently pinned per VERDICT r02
-#   item 9), and any query newly added this round.
-# Everything else keeps its original relative order after the pinned block;
-# queries pushed past position 50 this round were all driver-green in r02.
-# NOTE: keep this block LAST in the file — it must run after every
-# @register call.
+# The driver verifies only the FIRST 50 queries in registration order. Rounds
+# 2-3 rotated a 77-query registry through that 50-slot window, which left a
+# third of the surface without a same-round driver row. Instead, same-fixture
+# queries with 1:1 keys are folded into wide JOIN queries and same-shape
+# queries into tagged UNION queries, bringing the registry under 50 so EVERY
+# operator earns a driver-verified row EVERY round.
+#
+# Every fold below lists the operators its columns verify; the component
+# implementations (public API functions) are unchanged and keep their pytest
+# coverage. Component oracle SQL is reused verbatim as derived tables, so a
+# fold is exactly as strong as the sum of its components: same rows, same
+# values, one driver row.
 # ---------------------------------------------------------------------------
 
-_WINDOW_FIRST = [
-    # cheap copurchase-fixture queries first: they build and cache the
-    # shared graph, so the heavy community queries below time pure
-    # algorithm work
+_C = dict(QUERIES)  # component callables, pre-fold
+_O = dict(ORACLES)  # component oracle SQL, pre-fold
+
+
+def _fold(name: str, components: list[str], fn, oracle: str | None) -> None:
+    for c in components:
+        del QUERIES[c]
+        ORACLES.pop(c, None)
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _sub(name: str) -> str:
+    """Component oracle as a parenthesised derived table (DuckDB allows a
+    WITH-prefixed query inside a subselect)."""
+    return "(\n" + _O[name].strip() + "\n)"
+
+
+# --- text_metrics: text_stats + lang_id + repetition + unigram_logprob +
+#     pii_redact (five pipeline ops, all 1:1 per doc_id) -----------------------
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics, one wide row per doc: length/punct/token
+    stats, n-gram language ID, Gopher repetition filters, corpus-unigram LM
+    score, and PII counts + redacted-text md5 (pipelines/text.py)."""
+    out = _C["text_stats_documents"](spark, sf_dir)
+    for comp in (
+        "lang_id_documents",
+        "repetition_documents",
+        "unigram_logprob_documents",
+        "pii_redact_documents",
+    ):
+        out = out.join(_C[comp](spark, sf_dir), "doc_id")
+    return out
+
+
+_fold(
+    "text_metrics_documents",
+    [
+        "text_stats_documents",
+        "lang_id_documents",
+        "repetition_documents",
+        "unigram_logprob_documents",
+        "pii_redact_documents",
+    ],
+    q_text_metrics,
+    f"""
+SELECT a.*, b.lang_pred,
+       c.n_lines, c.dup_line_frac, c.dup_line_char_frac, c.top_ngram_frac,
+       c.dup_ngram_frac,
+       d.unigram_logprob, d.n_scored_tokens,
+       e.n_email, e.n_ip, e.n_phone, e.redacted_md5
+FROM {_sub("text_stats_documents")} a
+JOIN {_sub("lang_id_documents")} b ON a.doc_id = b.doc_id
+JOIN {_sub("repetition_documents")} c ON a.doc_id = c.doc_id
+JOIN {_sub("unigram_logprob_documents")} d ON a.doc_id = d.doc_id
+JOIN {_sub("pii_redact_documents")} e ON a.doc_id = e.doc_id
+""",
+)
+
+
+# --- doc_fingerprints: exact dedup + simhash + LSH near-dup clusters +
+#     paragraph dedup + sequence packing (all 1:1 per doc_id) -----------------
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup/fingerprint/packing columns: exact-hash group,
+    simhash, minhash-LSH near-dup cluster (+canonical pick), CCNet paragraph
+    dedup digest, and GPT-style packed-bin assignment (pipelines/dedup.py,
+    pipelines/mixing.py)."""
+    de = _C["dedup_exact_documents"](spark, sf_dir)
+    sh = _C["simhash_documents"](spark, sf_dir)
+    nd = _C["near_dup_clusters_documents"](spark, sf_dir).withColumnRenamed(
+        "is_canonical", "nd_is_canonical"
+    )
+    pa = _C["paragraph_dedup_documents"](spark, sf_dir)
+    pk = _C["pack_sequences_documents"](spark, sf_dir)
+    return de.join(sh, "doc_id").join(nd, "doc_id").join(pa, "doc_id").join(pk, "doc_id")
+
+
+_fold(
+    "doc_fingerprints_documents",
+    [
+        "dedup_exact_documents",
+        "simhash_documents",
+        "near_dup_clusters_documents",
+        "paragraph_dedup_documents",
+        "pack_sequences_documents",
+    ],
+    q_doc_fingerprints,
+    f"""
+SELECT a.doc_id, a.group_id, a.group_size, a.is_canonical,
+       b.simhash,
+       c.cluster_id, c.is_canonical AS nd_is_canonical,
+       d.dedup_md5, d.n_paras, d.n_kept,
+       e.n_chars, e.stream_start, e.bin_id, e.bin_offset, e.last_bin_id
+FROM {_sub("dedup_exact_documents")} a
+JOIN {_sub("simhash_documents")} b ON a.doc_id = b.doc_id
+JOIN {_sub("near_dup_clusters_documents")} c ON a.doc_id = c.doc_id
+JOIN {_sub("paragraph_dedup_documents")} d ON a.doc_id = d.doc_id
+JOIN {_sub("pack_sequences_documents")} e ON a.doc_id = e.doc_id
+""",
+)
+
+
+# --- doc_selection: stratified sampling + token-budget selection -------------
+
+
+def q_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix document selection, tagged union: seeded stratified
+    sample per language, and greedy token-budget selection per source
+    (pipelines/mixing.py)."""
+    st = _C["stratified_sample_documents"](spark, sf_dir)
+    tb = _C["token_budget_documents"](spark, sf_dir)
+    return st.select(
+        F.lit("stratified").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("attr"),
+        F.lit(-1).cast("long").alias("n_chars"),
+    ).unionAll(
+        tb.select(
+            F.lit("token_budget").alias("part"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("attr"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+_fold(
+    "doc_selection_documents",
+    ["stratified_sample_documents", "token_budget_documents"],
+    q_doc_selection,
+    f"""
+SELECT 'stratified' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang AS attr,
+       CAST(-1 AS BIGINT) AS n_chars
+FROM {_sub("stratified_sample_documents")}
+UNION ALL
+SELECT 'token_budget', CAST(doc_id AS BIGINT), source, CAST(n_chars AS BIGINT)
+FROM {_sub("token_budget_documents")}
+""",
+)
+
+
+# --- ann_topk: brute-force / LSH / IVF top-k under one method tag -------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over the embeddings table by all three strategies — exact
+    brute-force cosine, hyperplane-LSH bucketed, IVF (broadcast centroids +
+    n_probe) — tagged by method (pipelines/similarity_search.py)."""
+    parts = [
+        _C[comp](spark, sf_dir).select(
+            F.lit(tag).alias("method"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cosine").cast("double").alias("cosine"),
+        )
+        for tag, comp in [
+            ("brute", "embed_topk_brute"),
+            ("lsh", "embed_topk_lsh"),
+            ("ivf", "embed_topk_ivf"),
+        ]
+    ]
+    return parts[0].unionAll(parts[1]).unionAll(parts[2])
+
+
+_fold(
+    "ann_topk_embeddings",
+    ["embed_topk_brute", "embed_topk_lsh", "embed_topk_ivf"],
+    q_ann_topk,
+    f"""
+SELECT 'brute' AS method, CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id, CAST(cosine AS DOUBLE) AS cosine
+FROM {_sub("embed_topk_brute")}
+UNION ALL
+SELECT 'lsh', CAST(query_id AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(cosine AS DOUBLE)
+FROM {_sub("embed_topk_lsh")}
+UNION ALL
+SELECT 'ivf', CAST(query_id AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(cosine AS DOUBLE)
+FROM {_sub("embed_topk_ivf")}
+""",
+)
+
+
+# --- near_dup_pairs: embedding-cosine + minhash-LSH + n-gram-jaccard pairs ----
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs from three detectors, tagged union:
+    LSH-bucketed embedding cosine, banded minhash-LSH jaccard, and exact
+    char-3-gram jaccard (pipelines/dedup.py, similarity_search.py)."""
+
+    def tag(df, part, score):
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("first").cast("long").alias("first"),
+            F.col("second").cast("long").alias("second"),
+            F.col(score).cast("double").alias("score"),
+        )
+
+    return (
+        tag(_C["embed_near_dup_embeddings"](spark, sf_dir), "embed_cosine", "cosine")
+        .unionAll(tag(_C["minhash_lsh_documents"](spark, sf_dir), "minhash", "jaccard"))
+        .unionAll(tag(_C["ngram_jaccard_documents"](spark, sf_dir), "ngram", "jaccard"))
+    )
+
+
+_fold(
+    "near_dup_pairs_mixed",
+    ["embed_near_dup_embeddings", "minhash_lsh_documents", "ngram_jaccard_documents"],
+    q_near_dup_pairs,
+    f"""
+SELECT 'embed_cosine' AS part, CAST(first AS BIGINT) AS first,
+       CAST(second AS BIGINT) AS second, CAST(cosine AS DOUBLE) AS score
+FROM {_sub("embed_near_dup_embeddings")}
+UNION ALL
+SELECT 'minhash', CAST(first AS BIGINT), CAST(second AS BIGINT),
+       CAST(jaccard AS DOUBLE)
+FROM {_sub("minhash_lsh_documents")}
+UNION ALL
+SELECT 'ngram', CAST(first AS BIGINT), CAST(second AS BIGINT),
+       CAST(jaccard AS DOUBLE)
+FROM {_sub("ngram_jaccard_documents")}
+""",
+)
+
+
+# --- dup_flags: SemDeDup semantic dedup + eval-set decontamination -----------
+
+
+def q_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item duplicate/contamination verdicts, tagged union: SemDeDup
+    kmeans-bucketed semantic duplicates over embeddings, and n-gram-overlap
+    eval-set decontamination over documents (pipelines/similarity_search.py,
+    pipelines/decontaminate.py)."""
+    sd = _C["semantic_dedup_embeddings"](spark, sf_dir)
+    dc = _C["decontaminate_documents"](spark, sf_dir)
+    return sd.select(
+        F.lit("semantic_dedup").alias("part"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("is_duplicate").alias("flag"),
+        F.lit(-1).cast("long").alias("n_hits"),
+        F.col("dup_of").cast("double").alias("ref"),
+    ).unionAll(
+        dc.select(
+            F.lit("decontaminate").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("contaminated").alias("flag"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("first_eval_id").cast("double").alias("ref"),
+        )
+    )
+
+
+_fold(
+    "dup_flags_mixed",
+    ["semantic_dedup_embeddings", "decontaminate_documents"],
+    q_dup_flags,
+    f"""
+SELECT 'semantic_dedup' AS part, CAST(vec_id AS BIGINT) AS id,
+       is_duplicate AS flag, CAST(-1 AS BIGINT) AS n_hits,
+       CAST(dup_of AS DOUBLE) AS ref
+FROM {_sub("semantic_dedup_embeddings")}
+UNION ALL
+SELECT 'decontaminate', CAST(doc_id AS BIGINT), contaminated,
+       CAST(n_hits AS BIGINT), CAST(first_eval_id AS DOUBLE)
+FROM {_sub("decontaminate_documents")}
+""",
+)
+
+
+# --- similarity_metrics: jaccard + overlap + sorensen + cosine in ONE pass ----
+
+
+def q_similarity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four SURVEY §2.F similarity coefficients over the all-two-hop
+    pair set, computed with ONE neighbor-intersection shuffle
+    (link_prediction/_similarity.py::similarity_matrix) instead of four —
+    the fold is also the scale-correct plan."""
+    from cugraph_spark import similarity_matrix
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    out = similarity_matrix(g)
+    return out.select(
+        "first",
+        "second",
+        *[
+            F.round(f"{m}_coeff", 6).alias(f"{m}_coeff")
+            for m in ("jaccard", "overlap", "sorensen", "cosine")
+        ],
+    )
+
+
+_fold(
+    "similarity_metrics_copurchase_sparse",
+    [
+        "jaccard_copurchase_sparse",
+        "overlap_copurchase_sparse",
+        "sorensen_copurchase_sparse",
+        "cosine_copurchase_sparse",
+    ],
+    q_similarity_metrics,
+    _SIM_PRELUDE
+    + """
+SELECT p.first, p.second,
+       ROUND(COALESCE(i.i, 0) / (da.d + db.d - COALESCE(i.i, 0)), 6) AS jaccard_coeff,
+       ROUND(COALESCE(i.i, 0) / LEAST(da.d, db.d), 6) AS overlap_coeff,
+       ROUND(2 * COALESCE(i.i, 0) / (da.d + db.d), 6) AS sorensen_coeff,
+       ROUND(COALESCE(i.i, 0) / SQRT(da.d * db.d), 6) AS cosine_coeff
+FROM pairs p
+JOIN deg da ON da.v = p.first
+JOIN deg db ON db.v = p.second
+LEFT JOIN inter i ON i.first = p.first AND i.second = p.second
+""",
+)
+
+
+# --- katz + eigenvector centrality (same nation_flow graph, 1:1 on vertex) ---
+
+
+def q_katz_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz and eigenvector centrality on the weighted nation_flow digraph,
+    joined on vertex (SURVEY §2.E)."""
+    k = _C["katz_nation_flow"](spark, sf_dir)
+    e = _C["eigenvector_nation_flow"](spark, sf_dir)
+    return k.join(e, "vertex")
+
+
+_fold(
+    "katz_eigenvector_nation_flow",
+    ["katz_nation_flow", "eigenvector_nation_flow"],
+    q_katz_eigenvector,
+    f"""
+SELECT a.vertex, a.katz_centrality, b.eigenvector_centrality
+FROM {_sub("katz_nation_flow")} a
+JOIN {_sub("eigenvector_nation_flow")} b ON a.vertex = b.vertex
+""",
+)
+
+
+# --- hits + degree_centrality (different graphs → melted metric rows) --------
+
+
+def q_aux_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores (cust_supp digraph) and degree centrality
+    (copurchase_sparse), melted to (graph, metric, vertex, value) rows
+    (SURVEY §2.E)."""
+    h = _C["hits_cust_supp"](spark, sf_dir)
+    d = _C["degree_centrality_copurchase_sparse"](spark, sf_dir)
+
+    def melt(df, graph, metric, col):
+        return df.select(
+            F.lit(graph).alias("graph"),
+            F.lit(metric).alias("metric"),
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col(col).cast("double").alias("value"),
+        )
+
+    return (
+        melt(h, "cust_supp", "hubs", "hubs")
+        .unionAll(melt(h, "cust_supp", "authorities", "authorities"))
+        .unionAll(melt(d, "copurchase_sparse", "degree_centrality", "degree_centrality"))
+    )
+
+
+_fold(
+    "aux_centrality_mixed",
+    ["hits_cust_supp", "degree_centrality_copurchase_sparse"],
+    q_aux_centrality,
+    f"""
+SELECT 'cust_supp' AS graph, 'hubs' AS metric, CAST(vertex AS BIGINT) AS vertex,
+       CAST(hubs AS DOUBLE) AS value
+FROM {_sub("hits_cust_supp")}
+UNION ALL
+SELECT 'cust_supp', 'authorities', CAST(vertex AS BIGINT), CAST(authorities AS DOUBLE)
+FROM {_sub("hits_cust_supp")}
+UNION ALL
+SELECT 'copurchase_sparse', 'degree_centrality', CAST(vertex AS BIGINT),
+       CAST(degree_centrality AS DOUBLE)
+FROM {_sub("degree_centrality_copurchase_sparse")}
+""",
+)
+
+
+# --- degrees: directed in/out (cust_order) + undirected (copurchase) +
+#     temporal-view (cust_supp), melted -----------------------------------------
+
+
+def q_degrees_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.degrees() on the directed bipartite cust_order graph, G.degree() on
+    the undirected copurchase graph, and degree under a temporal edge mask on
+    cust_supp, melted to (graph, metric, vertex, value) (SURVEY §2.A)."""
+    co = _C["degree_cust_order"](spark, sf_dir)
+    cp = _C["degree_copurchase"](spark, sf_dir)
+    td = _C["temporal_degree_cust_supp"](spark, sf_dir)
+
+    def melt(df, graph, metric, col):
+        return df.select(
+            F.lit(graph).alias("graph"),
+            F.lit(metric).alias("metric"),
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col(col).cast("long").alias("value"),
+        )
+
+    return (
+        melt(co, "cust_order", "in_degree", "in_degree")
+        .unionAll(melt(co, "cust_order", "out_degree", "out_degree"))
+        .unionAll(melt(cp, "copurchase", "degree", "degree"))
+        .unionAll(melt(td, "cust_supp_temporal", "degree", "degree"))
+    )
+
+
+_fold(
+    "degrees_all",
+    ["degree_cust_order", "degree_copurchase", "temporal_degree_cust_supp"],
+    q_degrees_all,
+    f"""
+SELECT 'cust_order' AS graph, 'in_degree' AS metric,
+       CAST(vertex AS BIGINT) AS vertex, CAST(in_degree AS BIGINT) AS value
+FROM {_sub("degree_cust_order")}
+UNION ALL
+SELECT 'cust_order', 'out_degree', CAST(vertex AS BIGINT), CAST(out_degree AS BIGINT)
+FROM {_sub("degree_cust_order")}
+UNION ALL
+SELECT 'copurchase', 'degree', CAST(vertex AS BIGINT), CAST(degree AS BIGINT)
+FROM {_sub("degree_copurchase")}
+UNION ALL
+SELECT 'cust_supp_temporal', 'degree', CAST(vertex AS BIGINT), CAST(degree AS BIGINT)
+FROM {_sub("temporal_degree_cust_supp")}
+""",
+)
+
+
+# --- pagerank on both fixture graphs ------------------------------------------
+
+
+def q_pagerank_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the weighted nation_flow digraph AND the undirected
+    copurchase graph, tagged by graph (SURVEY §2.E)."""
+    n = _C["pagerank_nation_flow"](spark, sf_dir)
+    c = _C["pagerank_copurchase"](spark, sf_dir)
+    return n.select(
+        F.lit("nation_flow").alias("graph"),
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("pagerank").cast("double").alias("pagerank"),
+    ).unionAll(
+        c.select(
+            F.lit("copurchase").alias("graph"),
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("pagerank").cast("double").alias("pagerank"),
+        )
+    )
+
+
+_fold(
+    "pagerank_both",
+    ["pagerank_nation_flow", "pagerank_copurchase"],
+    q_pagerank_both,
+    f"""
+SELECT 'nation_flow' AS graph, CAST(vertex AS BIGINT) AS vertex,
+       CAST(pagerank AS DOUBLE) AS pagerank
+FROM {_sub("pagerank_nation_flow")}
+UNION ALL
+SELECT 'copurchase', CAST(vertex AS BIGINT), CAST(pagerank AS DOUBLE)
+FROM {_sub("pagerank_copurchase")}
+""",
+)
+
+
+# --- bfs + multi-source bfs ----------------------------------------------------
+
+
+def q_bfs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS and concurrent multi-source BFS on cust_supp,
+    tagged union (source = -1 on the single-source rows; SURVEY §2.B)."""
+    b = _C["bfs_cust_supp"](spark, sf_dir)
+    m = _C["msbfs_cust_supp"](spark, sf_dir)
+    return b.select(
+        F.lit("single").alias("part"),
+        F.lit(-1).cast("long").alias("source"),
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("distance").cast("long").alias("distance"),
+        F.col("predecessor").cast("long").alias("predecessor"),
+    ).unionAll(
+        m.select(
+            F.lit("multi").alias("part"),
+            F.col("source").cast("long").alias("source"),
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("distance").cast("long").alias("distance"),
+            F.col("predecessor").cast("long").alias("predecessor"),
+        )
+    )
+
+
+_fold(
+    "bfs_msbfs_cust_supp",
+    ["bfs_cust_supp", "msbfs_cust_supp"],
+    q_bfs_suite,
+    f"""
+SELECT 'single' AS part, CAST(-1 AS BIGINT) AS source,
+       CAST(vertex AS BIGINT) AS vertex, CAST(distance AS BIGINT) AS distance,
+       CAST(predecessor AS BIGINT) AS predecessor
+FROM {_sub("bfs_cust_supp")}
+UNION ALL
+SELECT 'multi', CAST(source AS BIGINT), CAST(vertex AS BIGINT),
+       CAST(distance AS BIGINT), CAST(predecessor AS BIGINT)
+FROM {_sub("msbfs_cust_supp")}
+""",
+)
+
+
+# --- two-hop neighbors + k-hop neighborhoods ----------------------------------
+
+
+def q_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_two_hop_neighbors and k_hop_nbrs on cust_supp_sparse, tagged
+    union over generic (a, b) endpoint columns (SURVEY §2.A/§2.B)."""
+    t = _C["two_hop_cust_supp_sparse"](spark, sf_dir)
+    k = _C["k_hop_cust_supp_sparse"](spark, sf_dir)
+    return t.select(
+        F.lit("two_hop").alias("part"),
+        F.col("first").cast("long").alias("a"),
+        F.col("second").cast("long").alias("b"),
+    ).unionAll(
+        k.select(
+            F.lit("k_hop").alias("part"),
+            F.col("start").cast("long").alias("a"),
+            F.col("vertex").cast("long").alias("b"),
+        )
+    )
+
+
+_fold(
+    "hop_neighbors_cust_supp_sparse",
+    ["two_hop_cust_supp_sparse", "k_hop_cust_supp_sparse"],
+    q_hop_neighbors,
+    f"""
+SELECT 'two_hop' AS part, CAST(first AS BIGINT) AS a, CAST(second AS BIGINT) AS b
+FROM {_sub("two_hop_cust_supp_sparse")}
+UNION ALL
+SELECT 'k_hop', CAST(start AS BIGINT), CAST(vertex AS BIGINT)
+FROM {_sub("k_hop_cust_supp_sparse")}
+""",
+)
+
+
+# --- subgraph extraction: ego + batched ego + induced + k-core ----------------
+
+
+def q_subgraphs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge lists from the four subgraph-extraction operators — ego_graph,
+    batched_ego_graphs (seed-tagged), induced_subgraph, k_core — as
+    (part, seed, src, dst) rows (SURVEY §2.A/§2.C)."""
+    e = _C["ego_graph_cust_supp_sparse"](spark, sf_dir)
+    b = _C["ego_batched_cust_supp"](spark, sf_dir)
+    i = _C["induced_subgraph_copurchase_sparse"](spark, sf_dir)
+    k = _C["k_core_copurchase_sparse"](spark, sf_dir)
+
+    def tag(df, part, with_seed):
+        seed = F.col("seed") if with_seed else F.lit(-1)
+        return df.select(
+            F.lit(part).alias("part"),
+            seed.cast("long").alias("seed"),
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+
+    return (
+        tag(e, "ego", False)
+        .unionAll(tag(b, "ego_batched", True))
+        .unionAll(tag(i, "induced", False))
+        .unionAll(tag(k, "k_core", False))
+    )
+
+
+_fold(
+    "subgraphs_suite",
+    [
+        "ego_graph_cust_supp_sparse",
+        "ego_batched_cust_supp",
+        "induced_subgraph_copurchase_sparse",
+        "k_core_copurchase_sparse",
+    ],
+    q_subgraphs_suite,
+    f"""
+SELECT 'ego' AS part, CAST(-1 AS BIGINT) AS seed, CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst
+FROM {_sub("ego_graph_cust_supp_sparse")}
+UNION ALL
+SELECT 'ego_batched', CAST(seed AS BIGINT), CAST(src AS BIGINT), CAST(dst AS BIGINT)
+FROM {_sub("ego_batched_cust_supp")}
+UNION ALL
+SELECT 'induced', CAST(-1 AS BIGINT), CAST(src AS BIGINT), CAST(dst AS BIGINT)
+FROM {_sub("induced_subgraph_copurchase_sparse")}
+UNION ALL
+SELECT 'k_core', CAST(-1 AS BIGINT), CAST(src AS BIGINT), CAST(dst AS BIGINT)
+FROM {_sub("k_core_copurchase_sparse")}
+""",
+)
+
+
+# --- Luby MIS + greedy vertex coloring (same graph, MIS ⊆ colored set) --------
+
+
+def q_mis_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex coloring with an in_mis flag marking Luby's maximal
+    independent set — one row per copurchase_sparse vertex (SURVEY §2.C)."""
+    c = _C["vertex_coloring_copurchase_sparse"](spark, sf_dir)
+    m = _C["mis_copurchase_sparse"](spark, sf_dir).withColumn("in_mis", F.lit(True))
+    return (
+        c.join(m, "vertex", "left")
+        .select(
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("color").cast("long").alias("color"),
+            F.coalesce("in_mis", F.lit(False)).alias("in_mis"),
+        )
+    )
+
+
+_fold(
+    "mis_coloring_copurchase_sparse",
+    ["mis_copurchase_sparse", "vertex_coloring_copurchase_sparse"],
+    q_mis_coloring,
+    f"""
+SELECT CAST(c.vertex AS BIGINT) AS vertex, CAST(c.color AS BIGINT) AS color,
+       (m.vertex IS NOT NULL) AS in_mis
+FROM {_sub("vertex_coloring_copurchase_sparse")} c
+LEFT JOIN {_sub("mis_copurchase_sparse")} m ON c.vertex = m.vertex
+""",
+)
+
+
+# --- Borůvka MST + approximate weighted matching (same part_supp graph) ------
+
+
+def q_mst_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning tree edges and approximate-weighted-matching pairs
+    on the part_supp graph, tagged union (weight = -1 on matching rows;
+    SURVEY §2.A/§2.C)."""
+    t = _C["mst_part_supp"](spark, sf_dir)
+    m = _C["matching_part_supp"](spark, sf_dir)
+    return t.select(
+        F.lit("mst").alias("part"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    ).unionAll(
+        m.select(
+            F.lit("matching").alias("part"),
+            F.col("vertex").cast("long").alias("src"),
+            F.col("match").cast("long").alias("dst"),
+            F.lit(-1.0).alias("weight"),
+        )
+    )
+
+
+_fold(
+    "mst_matching_part_supp",
+    ["mst_part_supp", "matching_part_supp"],
+    q_mst_matching,
+    f"""
+SELECT 'mst' AS part, CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(weight AS DOUBLE) AS weight
+FROM {_sub("mst_part_supp")}
+UNION ALL
+SELECT 'matching', CAST(vertex AS BIGINT), CAST("match" AS BIGINT),
+       CAST(-1.0 AS DOUBLE)
+FROM {_sub("matching_part_supp")}
+""",
+)
+
+
+# --- vertex + edge betweenness (same nation_und graph, same Brandes pass) ----
+
+
+def q_betweenness_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vertex and edge betweenness centrality on the undirected
+    nation graph, tagged union (dst = -1 on vertex rows; SURVEY §2.E)."""
+    v = _C["betweenness_nation_und"](spark, sf_dir)
+    e = _C["edge_betweenness_nation_und"](spark, sf_dir)
+    return v.select(
+        F.lit("vertex").alias("part"),
+        F.col("vertex").cast("long").alias("src"),
+        F.lit(-1).cast("long").alias("dst"),
+        F.col("betweenness_centrality").cast("double").alias("betweenness_centrality"),
+    ).unionAll(
+        e.select(
+            F.lit("edge").alias("part"),
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("betweenness_centrality").cast("double").alias("betweenness_centrality"),
+        )
+    )
+
+
+_fold(
+    "betweenness_suite_nation_und",
+    ["betweenness_nation_und", "edge_betweenness_nation_und"],
+    q_betweenness_suite,
+    f"""
+SELECT 'vertex' AS part, CAST(vertex AS BIGINT) AS src, CAST(-1 AS BIGINT) AS dst,
+       CAST(betweenness_centrality AS DOUBLE) AS betweenness_centrality
+FROM {_sub("betweenness_nation_und")}
+UNION ALL
+SELECT 'edge', CAST(src AS BIGINT), CAST(dst AS BIGINT),
+       CAST(betweenness_centrality AS DOUBLE)
+FROM {_sub("edge_betweenness_nation_und")}
+""",
+)
+
+
+# --- homogeneous + heterogeneous neighbor sampling (shared PRNG oracle) -------
+
+
+def q_neighbor_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform homogeneous and per-edge-type heterogeneous neighbor
+    sampling on cust_supp, tagged union (edge_type = -1 on homogeneous
+    rows) — both sides reproduce the cross-engine xxhash64 draws
+    (SURVEY §2.G)."""
+    h = _C["neighbor_sample_cust_supp"](spark, sf_dir)
+    t = _C["hetero_neighbor_sample_cust_supp"](spark, sf_dir)
+    return h.select(
+        F.lit("homogeneous").alias("part"),
+        F.col("majors").cast("long").alias("majors"),
+        F.col("minors").cast("long").alias("minors"),
+        F.lit(-1).cast("long").alias("edge_type"),
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("hop_id").cast("long").alias("hop_id"),
+    ).unionAll(
+        t.select(
+            F.lit("heterogeneous").alias("part"),
+            F.col("majors").cast("long").alias("majors"),
+            F.col("minors").cast("long").alias("minors"),
+            F.col("edge_type").cast("long").alias("edge_type"),
+            F.col("batch_id").cast("long").alias("batch_id"),
+            F.col("hop_id").cast("long").alias("hop_id"),
+        )
+    )
+
+
+_fold(
+    "neighbor_sample_suite_cust_supp",
+    ["neighbor_sample_cust_supp", "hetero_neighbor_sample_cust_supp"],
+    q_neighbor_sample_suite,
+    f"""
+SELECT 'homogeneous' AS part, CAST(majors AS BIGINT) AS majors,
+       CAST(minors AS BIGINT) AS minors, CAST(-1 AS BIGINT) AS edge_type,
+       CAST(batch_id AS BIGINT) AS batch_id, CAST(hop_id AS BIGINT) AS hop_id
+FROM {_sub("neighbor_sample_cust_supp")}
+UNION ALL
+SELECT 'heterogeneous', CAST(majors AS BIGINT), CAST(minors AS BIGINT),
+       CAST(edge_type AS BIGINT), CAST(batch_id AS BIGINT), CAST(hop_id AS BIGINT)
+FROM {_sub("hetero_neighbor_sample_cust_supp")}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Registration order: cheap queries that build + memoize the shared fixture
+# graphs run first so heavy community queries time pure algorithm work. The
+# whole registry now fits the driver's 50-query window — no rotation.
+# ---------------------------------------------------------------------------
+
+_ORDER_FIRST = [
     "ktruss_copurchase_sparse",
-    "mis_copurchase_sparse",
-    "vertex_coloring_copurchase_sparse",
-    # permanently pinned: cross-engine xxhash64 PRNG oracles
+    "mis_coloring_copurchase_sparse",
     "random_walks_cust_supp",
-    "neighbor_sample_cust_supp",
+    "neighbor_sample_suite_cust_supp",
     "negative_sampling_cust_supp",
     "rmat_scale12",
-    # remaining queries with no r02 driver row
-    "leiden_copurchase_sparse",
-    "leiden_invariants_copurchase",
-    "louvain_invariants_copurchase",
-    "spectral_invariants_copurchase",
-    "wcc_scc_nation",
-    "mst_part_supp",
-    "matching_part_supp",
-    "ego_batched_cust_supp",
-    "streaming_edges_events",
-    "force_atlas2_nation",
-    "fa2_invariants_nation",
-    "bicliques_doc_shingle",
-    # rows-only main query paired with its now-in-window invariant
-    "louvain_copurchase_sparse",
-    # red in r02 (canonicalization), fixed this round — verify the fix
-    "pack_sequences_documents",
-    "random_projection_embeddings",
-    # new this round
-    "hungarian_auction_supp_part",
-    "ecg_invariants_copurchase",
-    "ngram_jaccard_documents",
-    "embed_near_dup_embeddings",
-    "hetero_neighbor_sample_cust_supp",
-    "clustering_scores_nation",
-    "select_random_vertices_cust_supp",
-    "bfs_paths_cust_supp",
 ]
 
 
-def _apply_window_order() -> None:
-    missing = [n for n in _WINDOW_FIRST if n not in QUERIES]
-    assert not missing, f"_WINDOW_FIRST names not registered: {missing}"
-    ordered = list(_WINDOW_FIRST) + [n for n in QUERIES if n not in _WINDOW_FIRST]
+def _apply_order() -> None:
+    missing = [n for n in _ORDER_FIRST if n not in QUERIES]
+    assert not missing, f"_ORDER_FIRST names not registered: {missing}"
+    assert len(QUERIES) <= 50, (
+        f"registry has {len(QUERIES)} queries — the driver only verifies the "
+        "first 50; fold queries together before adding more"
+    )
+    ordered = list(_ORDER_FIRST) + [n for n in QUERIES if n not in _ORDER_FIRST]
     for d in (QUERIES, ORACLES):
         snapshot = dict(d)
         d.clear()
         d.update({n: snapshot[n] for n in ordered if n in snapshot})
 
 
-_apply_window_order()
+_apply_order()
