@@ -144,10 +144,11 @@ def hungarian_auction(
         .agg((-F.min(F.col(WEIGHT).cast("double"))).alias("_a"))
     )
     cand = iterloop.persist(cand)
-    n_tasks, a_max, a_min, frac = iterloop.collect_scalars(
+    n_tasks, n_cand_workers, a_max, a_min, frac = iterloop.collect_scalars(
         cand,
         [
             F.countDistinct("_task"),
+            F.countDistinct("_worker"),
             F.max("_a"),
             F.min("_a"),
             F.max(F.abs(F.col("_a") - F.round(F.col("_a")))),
@@ -155,6 +156,13 @@ def hungarian_auction(
     )
     if n_workers > (n_tasks or 0):
         raise ValueError("more workers than tasks; infeasible assignment")
+    if (n_cand_workers or 0) < n_workers:
+        # fail fast like the dense route instead of sweeping to max_sweeps:
+        # a worker with no candidate edges can never be assigned
+        raise ValueError(
+            f"{n_workers - (n_cand_workers or 0)} worker(s) have no candidate "
+            "edges; infeasible assignment"
+        )
     eps_final = (
         float(epsilon) if epsilon is not None else 1.0 / (n_workers + 1)
     )
@@ -172,6 +180,19 @@ def hungarian_auction(
         while True:  # ε-scaling phases
             state = iterloop.materialize(
                 prices.select("_task", "_p", F.lit(None).cast("long").alias("_owner"))
+            )
+            # Feasibility bound for this phase (Bertsekas 1988, prop. 2.3):
+            # starting from any price vector, a feasible forward auction
+            # raises any single price by at most (2n-1)(C + ε) before
+            # terminating. Anything past that means the candidate edges
+            # violate Hall's condition (k workers bidding for < k reachable
+            # tasks — an endless bidding war the sweep counter alone would
+            # only catch after max_sweeps full Spark rounds).
+            (p0_max,) = iterloop.collect_scalars(state, [F.max("_p")])
+            p_bound = (
+                float(p0_max or 0.0)
+                + (2 * n_workers + 1) * (spread + eps)
+                + 1.0
             )
             sweeps = 0
             while True:  # auction sweeps at this ε
@@ -223,10 +244,14 @@ def hungarian_auction(
                     .groupBy("_worker")
                     .agg(F.max("_v").alias("_v2"))
                 )
-                # bid on the best task: price rises to a1 - v2 + eps
-                # (v2 = -inf when the worker has a single candidate —
-                # bid caps at a1 - (a_min - spread) + eps, a finite "very
-                # high" price that still beats every competitor)
+                # bid on the best task: price rises to a1 - v2 + eps.
+                # For a >=2-candidate worker, bid - p = v1 - v2 + eps >= eps,
+                # so prices are monotone. A single-candidate worker has no
+                # v2; its stand-in `lo` must be clamped to <= v1, otherwise
+                # the constant bid a1 - lo + eps can fall BELOW an already
+                # contested price and the unconditional state update would
+                # LOWER it, breaking the monotone-price/eps-CS invariant the
+                # termination and optimality proofs need (r3 ADVICE).
                 lo = float(a_min or 0.0) - spread - 1.0
                 bids = (
                     best.join(second, "_worker", "left")
@@ -235,7 +260,9 @@ def hungarian_auction(
                         "_worker",
                         (
                             F.col("_a1")
-                            - F.coalesce("_v2", F.lit(lo))
+                            - F.least(
+                                F.coalesce("_v2", F.lit(lo)), F.col("_v1")
+                            )
                             + F.lit(eps)
                         ).alias("_bid"),
                     )
@@ -260,13 +287,19 @@ def hungarian_auction(
                     )
                 )
                 new_state = iterloop.materialize(new_state)
-                (n_owned,) = iterloop.collect_scalars(
-                    new_state, [F.count("_owner")]
+                n_owned, p_max = iterloop.collect_scalars(
+                    new_state, [F.count("_owner"), F.max("_p")]
                 )
                 state = new_state
                 sweeps += 1
                 if n_owned >= n_workers:
                     break
+                if float(p_max or 0.0) > p_bound:
+                    raise ValueError(
+                        "auction prices exceeded the feasibility bound — the "
+                        "workers' candidate edges violate Hall's condition; "
+                        "infeasible assignment"
+                    )
                 if sweeps >= max_sweeps:
                     raise RuntimeError(
                         "auction did not converge — assignment likely infeasible "
@@ -293,7 +326,7 @@ def hungarian_auction(
     return float(total or 0.0), out
 
 
-def hungarian(G: Graph, workers, epsilon: float = 1e-6):
+def hungarian(G: Graph, workers, epsilon: float | None = None):
     """lap.py:8 — workers = vertex list of the 'row' partition; the other
     endpoint set of their edges is the 'task' partition. Edge weights are
     costs (missing edges = +inf). Returns (total_cost, DataFrame (vertex,
@@ -301,14 +334,19 @@ def hungarian(G: Graph, workers, epsilon: float = 1e-6):
 
     Dispatch: dense JV on the driver below ``_DRIVER_MAX_WORKERS``
     (reference-parity small-N route); the distributed auction IterLoop
-    above it."""
+    above it. The two routes differ on float costs: the JV solver is exact
+    regardless of ``epsilon`` (which it therefore ignores, matching the
+    reference where epsilon is only a float-comparison tolerance), while
+    the auction route is optimal within n·ε — ``epsilon`` overrides the
+    auction's final ε and is forwarded when the caller sets it."""
     if not G.is_weighted():
         raise ValueError("hungarian requires edge weights (costs)")
     spark = G.edgelist.sparkSession
     workers = list(workers)
     if len(workers) > _DRIVER_MAX_WORKERS:
-        return hungarian_auction(G, workers)
+        return hungarian_auction(G, workers, epsilon=epsilon)
     wset = set(workers)
+    widx = {w: i for i, w in enumerate(workers)}
     edges = G.edges().collect()  # small-N driver path (see module docstring)
     tasks = sorted({r[DST] for r in edges if r[SRC] in wset})
     tidx = {t: i for i, t in enumerate(tasks)}
@@ -318,7 +356,7 @@ def hungarian(G: Graph, workers, epsilon: float = 1e-6):
     mat = [[big] * len(tasks) for _ in workers]
     for r in edges:
         if r[SRC] in wset and r[DST] in tidx:
-            i = workers.index(r[SRC])
+            i = widx[r[SRC]]
             mat[i][tidx[r[DST]]] = min(mat[i][tidx[r[DST]]], float(r[WEIGHT]))
     assign = _solve_dense(mat)
     total = sum(mat[i][assign[i]] for i in range(len(workers)))

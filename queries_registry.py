@@ -146,13 +146,17 @@ _GRAPH_CACHE: dict = {}
 
 def _graph_memo(fn):
     def wrapped(spark: SparkSession, sf_dir: str, *args, **kwargs):
-        key = (
-            fn.__name__,
-            sf_dir,
-            args,
-            tuple(sorted(kwargs.items())),
-            spark.sparkContext.applicationId,
-        )
+        app_id = spark.sparkContext.applicationId
+        # evict entries from dead sessions so a long-lived process doesn't
+        # accumulate persisted edge tables in executor memory (r3 ADVICE)
+        stale = [k for k in _GRAPH_CACHE if k[-1] != app_id]
+        for k in stale:
+            g = _GRAPH_CACHE.pop(k)
+            try:
+                g.edgelist.unpersist()
+            except Exception:
+                pass  # session already gone — nothing to unpersist
+        key = (fn.__name__, sf_dir, args, tuple(sorted(kwargs.items())), app_id)
         g = _GRAPH_CACHE.get(key)
         if g is None:
             g = fn(spark, sf_dir, *args, **kwargs)

@@ -85,6 +85,82 @@ def test_auction_matches_jv(spark, nw, nt, seed):
     assert len({r["assignment"] for r in rows}) == nw
 
 
+def test_auction_single_candidate_bid_clamped(spark):
+    """Single-candidate workers' bids must be clamped to the current price
+    (monotone prices): contested tasks plus a lone-edge worker used to be
+    able to LOWER an already-high price via the constant bid floor. The
+    auction must still terminate at the JV optimum."""
+    from cugraph_spark.linear_assignment.lap import hungarian_auction
+
+    # workers 0..3 all want task 100 (cheap) with task 101..103 pricey;
+    # worker 4 has a single edge to the contested task 104
+    rows = []
+    for w in range(4):
+        for t, c in [(100, 1.0), (101, 40.0), (102, 45.0), (103, 50.0), (104, 2.0)]:
+            rows.append((w, t, c))
+    rows.append((4, 104, 3.0))  # single-candidate worker on a contested task
+    g = Graph(directed=True)
+    g.from_edgelist(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        "src", "dst", weight="weight",
+    )
+    tot_jv, _ = hungarian(g, [0, 1, 2, 3, 4])
+    tot_au, df = hungarian_auction(g, [0, 1, 2, 3, 4])
+    assert abs(tot_au - tot_jv) < 1e-6
+    assert df.count() == 5
+    assert len({r["assignment"] for r in df.collect()}) == 5
+
+
+def test_auction_candidate_less_worker_fails_fast(spark):
+    """A worker with zero candidate edges raises ValueError up front
+    instead of sweeping to max_sweeps (r3 ADVICE)."""
+    from cugraph_spark.linear_assignment.lap import hungarian_auction
+
+    g = _random_bipartite(spark, 5, 10, 4, 2)
+    with pytest.raises(ValueError, match="no candidate"):
+        hungarian_auction(g, [0, 1, 2, 3, 4, 999])  # 999 has no edges
+
+
+def test_auction_hall_violation_detected(spark):
+    """k workers whose joint neighborhood has < k tasks (Hall violation
+    that the worker/task counting checks can't see) trips the Bertsekas
+    price bound instead of livelocking for max_sweeps sweeps."""
+    from cugraph_spark.linear_assignment.lap import hungarian_auction
+
+    rows = [
+        (1, 10, 5.0),
+        (2, 10, 6.0),  # workers 1,2 compete for the single task 10
+        (3, 10, 1.0),
+        (3, 11, 2.0),
+        (3, 12, 3.0),  # worker 3 keeps n_tasks >= n_workers
+    ]
+    g = Graph(directed=True)
+    g.from_edgelist(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        "src", "dst", weight="weight",
+    )
+    with pytest.raises(ValueError, match="Hall"):
+        hungarian_auction(g, [1, 2, 3], max_sweeps=500)
+
+
+def test_hungarian_forwards_epsilon_to_auction(spark, monkeypatch):
+    """hungarian(epsilon=...) reaches the auction route past the guard."""
+    import cugraph_spark.linear_assignment.lap as lap
+
+    seen = {}
+    real = lap.hungarian_auction
+
+    def spy(G, workers, epsilon=None, **kw):
+        seen["epsilon"] = epsilon
+        return real(G, workers, epsilon=epsilon, **kw)
+
+    monkeypatch.setattr(lap, "hungarian_auction", spy)
+    monkeypatch.setattr(lap, "_DRIVER_MAX_WORKERS", 5)
+    g = _random_bipartite(spark, 10, 20, 6, 9)
+    lap.hungarian(g, list(range(10)), epsilon=0.01)
+    assert seen["epsilon"] == 0.01
+
+
 def test_hungarian_dispatches_to_auction(spark, monkeypatch):
     """Past the dense-collect guard, hungarian() routes to the auction
     IterLoop and still returns the optimal total."""
