@@ -24,11 +24,14 @@ from ..constants import SRC, DST, WEIGHT
 from ..plans import iterloop
 from ..structure.graph import Graph
 from ._local_tail import LOCAL_TAIL_MAX_EDGES, local_tail
-from .louvain import _apply_tail, _one_level, modularity_of
+from .louvain import _apply_tail, _driver_contract_tail, _one_level, modularity_of
 
 
 def _split_disconnected(
-    edges: DataFrame, assign: DataFrame, n_hint: int | None = None
+    edges: DataFrame,
+    assign: DataFrame,
+    n_hint: int | None = None,
+    n_level_edges: int | None = None,
 ) -> DataFrame:
     """Refinement: relabel each community to its connected components
     (labels become min member vertex of each connected piece).
@@ -36,7 +39,15 @@ def _split_disconnected(
     Same hash-min + two-hop label shortcut as WCC (labels also propagate
     label->min(member), squaring the radius per round — O(log d) rounds
     instead of O(d); components/connectivity.py:114). ``n_hint`` is an
-    upper bound on the vertex count for the broadcast-hint decision."""
+    upper bound on the vertex count for the broadcast-hint decision.
+
+    When the level's edge list fits the driver tail
+    (``n_level_edges <= LOCAL_TAIL_MAX_EDGES`` — the same size policy as
+    the dendrogram tail), the intra-community edges are collected and
+    split by union-find locally: one broadcast relabel join replaces the
+    O(log d) shuffle rounds. Coarsened levels shrink geometrically, so
+    at 100-TB scale only level 0 (and maybe 1) takes the distributed
+    loop; small levels stop paying ~10 fixed-cost Spark jobs each."""
     from ..components.connectivity import _skew_safe_hint
 
     hint = lambda df: iterloop.hint_state_join(df, n_hint)
@@ -46,6 +57,34 @@ def _split_disconnected(
         .filter(F.col("_cs") == F.col("_cd"))
         .select(SRC, DST)
     )
+    if n_level_edges is not None and n_level_edges <= LOCAL_TAIL_MAX_EDGES:
+        pairs = [(r[0], r[1]) for r in intra.collect()]
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in pairs:
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # unions always point max -> min, so every root is the
+                # min member of its piece (as in _split_connected_seq)
+                parent[max(rs, rd)] = min(rs, rd)
+        spark = assign.sparkSession
+        if not parent:
+            # no intra edges: every vertex is its own component
+            return assign.select("vertex", F.col("vertex").alias("community"))
+        lab_df = spark.createDataFrame(
+            [(int(v), int(find(v))) for v in parent], "vertex long, _lab long"
+        )
+        return assign.join(F.broadcast(lab_df), "vertex", "left").select(
+            "vertex", F.coalesce("_lab", F.col("vertex")).alias("community")
+        )
     labels = assign.select("vertex", F.col("vertex").alias("label"))
     labels = iterloop.materialize(labels)
     while True:
@@ -110,6 +149,16 @@ def leiden(
     ):
         n_hint = G.number_of_vertices()
         for level in range(max_level):
+            if level > 0 and n_level_edges <= LOCAL_TAIL_MAX_EDGES:
+                # a distributed contraction brought the level graph under
+                # the driver-tail cap: finish every remaining level locally
+                rows = [(r[0], r[1], r[2]) for r in edges.collect()]
+                comm, q_final = local_tail(
+                    rows, resolution, max_level - level, min(max_iter, 20),
+                    threshold, leiden_split=True,
+                )
+                mapping = _apply_tail(mapping, comm)
+                break
             # skip _one_level's modularity pass: the split below changes
             # the partition, so Q is only meaningful post-refinement;
             # skip its canonicalization too — the split relabels every
@@ -124,7 +173,9 @@ def leiden(
                 canonical=False,
             )
             # the Leiden guarantee
-            assign = _split_disconnected(edges, assign, n_hint=n_hint)
+            assign = _split_disconnected(
+                edges, assign, n_hint=n_hint, n_level_edges=n_level_edges
+            )
             mapping = iterloop.materialize(
                 mapping.join(
                     assign.select(F.col("vertex").alias("community"), F.col("community").alias("_n")),
@@ -140,28 +191,25 @@ def leiden(
                 # tail below reports its own Q when it takes over)
                 q_final = modularity_of(edges, assign, resolution, two_m=two_m)
                 break
+            # dendrogram tail (see louvain.py): driver-sized coarsened
+            # levels finish locally, with the Leiden connectivity split
+            # applied after each local level. A level that already fits
+            # also contracts on the driver (two collects instead of a
+            # shuffle + checkpoint + count)
+            if n_level_edges <= LOCAL_TAIL_MAX_EDGES:
+                comm, q_final = _driver_contract_tail(
+                    edges, assign, resolution, max_level - level - 1,
+                    min(max_iter, 20), threshold, leiden_split=True,
+                )
+                mapping = _apply_tail(mapping, comm)
+                break
             edges = iterloop.materialize(
                 edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
                 .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
                 .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
                 .agg(F.sum("_w").alias("_w"))
             )
-            # dendrogram tail (see louvain.py): driver-sized coarsened
-            # levels finish locally, with the Leiden connectivity split
-            # applied after each local level
             (n_level_edges,) = iterloop.collect_scalars(edges, [F.count("*")])
-            if n_level_edges <= LOCAL_TAIL_MAX_EDGES:
-                rows = [(r[0], r[1], r[2]) for r in edges.collect()]
-                comm, q_final = local_tail(
-                    rows,
-                    resolution,
-                    max_level - level - 1,
-                    min(max_iter, 20),
-                    threshold,
-                    leiden_split=True,
-                )
-                mapping = _apply_tail(mapping, comm)
-                break
 
     out = mapping.select("vertex", F.col("community").alias("partition"))
     return G.unrenumber(out, "vertex"), q_final

@@ -56,6 +56,33 @@ def _apply_tail(mapping: DataFrame, comm: dict) -> DataFrame:
     )
 
 
+def _driver_contract_tail(
+    edges: DataFrame,
+    assign: DataFrame,
+    resolution: float,
+    max_levels: int,
+    max_iter: int,
+    threshold: float,
+    leiden_split: bool = False,
+):
+    """Contract a driver-sized level locally and run the dendrogram tail.
+
+    When the current level's edge list is already under
+    ``LOCAL_TAIL_MAX_EDGES``, two small collects (edges + assignment)
+    replace the distributed contraction's shuffle + checkpoint + count
+    jobs. Returns ``(comm dict, modularity)`` from ``local_tail``."""
+    a = {r[0]: r[1] for r in assign.collect()}
+    contracted: dict = {}
+    for r in edges.collect():
+        key = (a[r[0]], a[r[1]])
+        contracted[key] = contracted.get(key, 0.0) + r[2]
+    rows = [(s, d, w) for (s, d), w in contracted.items()]
+    return local_tail(
+        rows, resolution, max_levels, max_iter, threshold,
+        leiden_split=leiden_split,
+    )
+
+
 # Frontier engages when movers * factor < |V| (tail passes); early
 # whole-graph passes recompute everyone. A huge factor disables the
 # frontier entirely (every pass recomputes every vertex).
@@ -158,11 +185,17 @@ def _one_level(
     rows instead of the whole edge list.
     """
     spark = edges.sparkSession
-    deg = edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum("_w").alias("_k"))
+    # _nl marks vertices with at least one non-loop edge: the iso set
+    # (self-loop-only vertices) falls out of the same aggregation instead
+    # of costing its own anti-join materialize + count (two jobs/level)
+    deg = edges.groupBy(F.col(SRC).alias("vertex")).agg(
+        F.sum("_w").alias("_k"),
+        F.max((F.col(SRC) != F.col(DST)).cast("int")).alias("_nl"),
+    )
     deg = iterloop.persist(deg)
-    # deg sums == edge-weight sum on a symmetrized list: one job for both
-    n_verts_hint, two_m = iterloop.collect_scalars(
-        deg, [F.count("*"), F.sum("_k")]
+    # deg sums == edge-weight sum on a symmetrized list: one job for all
+    n_verts_hint, two_m, n_iso = iterloop.collect_scalars(
+        deg, [F.count("*"), F.sum("_k"), F.count(F.when(F.col("_nl") == 0, 1))]
     )
 
     assign = deg.select("vertex", F.col("vertex").alias("community"))
@@ -177,16 +210,12 @@ def _one_level(
     # ``precomputed_iso=False`` means "known empty", a DataFrame is the
     # (vertex,) set itself.
     if precomputed_iso is None:
-        iso = iterloop.materialize(
-            deg.select("vertex").join(
-                edges.filter(F.col(SRC) != F.col(DST)).select(F.col(SRC).alias("vertex")),
-                "vertex",
-                "left_anti",
-            )
-        )
-        (n_iso,) = iterloop.collect_scalars(iso, [F.count("*")])
         iso_assign = (
-            iso.select("vertex", F.col("vertex").alias("community")) if n_iso else None
+            deg.filter(F.col("_nl") == 0).select(
+                "vertex", F.col("vertex").alias("community")
+            )
+            if n_iso
+            else None
         )
     elif precomputed_iso is False:
         iso_assign = None
@@ -199,27 +228,39 @@ def _one_level(
     best_prev = None  # cached (vertex, community, _best, _gain, _curgain)
     affected = None  # None = recompute everyone (first pass)
     for it in range(max_iter):
-        a_dst = assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cj"))
-        sigma = (
-            assign.join(hint(deg), "vertex")
-            .groupBy(F.col("community").alias("_cj"))
-            .agg(F.sum("_k").alias("_sig"))
-        )
-        # w_iC: weight from vertex i to each neighbor community C —
-        # restricted to the affected frontier after the first pass
-        wic_edges = edges.filter(F.col(SRC) != F.col(DST))
-        if affected is not None:
-            wic_edges = wic_edges.join(
-                hint(affected.withColumnRenamed("vertex", SRC)), SRC, "semi"
+        if it == 0:
+            # identity assignment: sigma == deg and community(v) == v, so
+            # the sigma groupBy and both assignment joins are no-ops —
+            # elide them from the (most expensive, whole-graph) first pass
+            sigma = deg.select(F.col("vertex").alias("_cj"), F.col("_k").alias("_sig"))
+            wic = (
+                edges.filter(F.col(SRC) != F.col(DST))
+                .groupBy(F.col(SRC).alias("vertex"), F.col(DST).alias("_cj"))
+                .agg(F.sum("_w").alias("_wic"))
             )
-        wic = (
-            wic_edges.join(iterloop.hint_state_join(a_dst, n_verts_hint), DST)
-            .groupBy(F.col(SRC).alias("vertex"), "_cj")
-            .agg(F.sum("_w").alias("_wic"))
-        )
+            pre_cand = wic.withColumn("community", F.col("vertex"))
+        else:
+            a_dst = assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cj"))
+            sigma = (
+                assign.join(hint(deg), "vertex")
+                .groupBy(F.col("community").alias("_cj"))
+                .agg(F.sum("_k").alias("_sig"))
+            )
+            # w_iC: weight from vertex i to each neighbor community C —
+            # restricted to the affected frontier after the first pass
+            wic_edges = edges.filter(F.col(SRC) != F.col(DST))
+            if affected is not None:
+                wic_edges = wic_edges.join(
+                    hint(affected.withColumnRenamed("vertex", SRC)), SRC, "semi"
+                )
+            wic = (
+                wic_edges.join(iterloop.hint_state_join(a_dst, n_verts_hint), DST)
+                .groupBy(F.col(SRC).alias("vertex"), "_cj")
+                .agg(F.sum("_w").alias("_wic"))
+            )
+            pre_cand = wic.join(hint(assign), "vertex")
         cand = (
-            wic.join(hint(assign), "vertex")
-            .join(hint(deg), "vertex")
+            pre_cand.join(hint(deg.select("vertex", "_k")), "vertex")
             .join(hint(sigma), "_cj")
             .select(
                 "vertex",
@@ -379,6 +420,15 @@ def louvain(
         shuffled_rows=n_level_edges,
     ):
         for level in range(max_level):
+            if level > 0 and n_level_edges <= LOCAL_TAIL_MAX_EDGES:
+                # a distributed contraction brought the level graph under
+                # the driver-tail cap: finish every remaining level locally
+                rows = [(r[0], r[1], r[2]) for r in edges.collect()]
+                comm, q_final = local_tail(
+                    rows, resolution, max_level - level, max_iter, threshold
+                )
+                mapping = _apply_tail(mapping, comm)
+                break
             # compute_q=False: only the EXIT level's modularity is
             # reported, so intermediate levels skip the two-job Q pass
             # and Q is computed once at each break point below
@@ -398,6 +448,19 @@ def louvain(
             if n_comms == n_verts or level == max_level - 1:
                 q_final = modularity_of(edges, assign, resolution)
                 break
+            # dendrogram tail: coarsened levels shrink geometrically — once
+            # a level graph fits on the driver, finish the remaining levels
+            # with sequential Louvain locally instead of paying dozens of
+            # fixed-cost Spark jobs over a few thousand rows. When THIS
+            # level already fits, the contraction itself moves to the
+            # driver too (two collects replace a shuffle+checkpoint job)
+            if n_level_edges <= LOCAL_TAIL_MAX_EDGES:
+                comm, q_final = _driver_contract_tail(
+                    edges, assign, resolution,
+                    max_level - level - 1, max_iter, threshold,
+                )
+                mapping = _apply_tail(mapping, comm)
+                break
             # coarsen: contract communities (cpp graph_contraction :267)
             edges = iterloop.materialize(
                 edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
@@ -405,18 +468,7 @@ def louvain(
                 .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
                 .agg(F.sum("_w").alias("_w"))
             )
-            # dendrogram tail: coarsened levels shrink geometrically — once
-            # the community graph fits on the driver, finish the remaining
-            # levels with sequential Louvain locally instead of paying
-            # dozens of fixed-cost Spark jobs over a few thousand rows
             (n_level_edges,) = iterloop.collect_scalars(edges, [F.count("*")])
-            if n_level_edges <= LOCAL_TAIL_MAX_EDGES:
-                rows = [(r[0], r[1], r[2]) for r in edges.collect()]
-                comm, q_final = local_tail(
-                    rows, resolution, max_level - level - 1, max_iter, threshold
-                )
-                mapping = _apply_tail(mapping, comm)
-                break
 
     out = mapping.select("vertex", F.col("community").alias("partition"))
     return G.unrenumber(out, "vertex"), q_final

@@ -2304,7 +2304,10 @@ def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark import leiden
 
     g = copurchase_sparse_graph(spark, sf_dir)
-    parts, _q = leiden(g, max_level=2)
+    # max_iter=10 A/B'd at sf0.01 (r4): Q 0.3621@20 iters/12.6s ->
+    # 0.3603@10/8.4s -> 0.3494@8 -> 0.3399@6; 10 keeps Q within 0.5%
+    # of the 20-iter fixpoint for a third less wall time
+    parts, _q = leiden(g, max_level=2, max_iter=10)
     return parts
 
 
@@ -2333,7 +2336,7 @@ def q_leiden_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark.community.leiden import _split_disconnected
 
     g = copurchase_sparse_graph(spark, sf_dir)
-    parts, q = leiden(g, max_level=2)
+    parts, q = leiden(g, max_level=2, max_iter=10)
     assign = g.renumber_vertices(
         parts.select("vertex", F.col("partition").alias("community")), "vertex"
     )
@@ -2346,7 +2349,11 @@ def q_leiden_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 n_vertices,
-                bool(q > 0.3),
+                # floor = 95% of the measured Q at this fixture (0.3603,
+                # leiden max_iter=10, r4) so a quality regression — e.g. a
+                # future tail-fraction bump — trips the hash compare; the
+                # old karate-grade 0.3 bar would have let Q~0.31 through
+                bool(q > 0.342),
                 bool(n_pieces == n_comms),
                 bool(1 < n_comms < n_vertices),
             )
@@ -2389,7 +2396,9 @@ def q_louvain_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 n_vertices,
-                bool(q_ind > 0.3),
+                # floor = 95% of the measured Q at this fixture (0.3404,
+                # louvain max_level=3/max_iter=6, r4) — regression tripwire
+                bool(q_ind > 0.323),
                 bool(abs(q_ind - q) < 1e-6),
                 bool(1 < n_comms < n_vertices),
             )
@@ -3365,6 +3374,9 @@ def q_ecg_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = parts.select("vertex", F.col("partition").alias("cluster"))
     q_ind = analyzeClustering_modularity(g, n_comms, clusters)
     return spark.createDataFrame(
+        # measured q_ind at this fixture is 0.3027 (r4) — the 0.3 bar is
+        # already within 1% of measured, so it stays (tightening to 95%
+        # would LOOSEN it to 0.288)
         [(n_vertices, bool(q_ind > 0.3), bool(1 < n_comms < n_vertices))],
         "n_vertices long, q_above_03 boolean, comm_count_in_range boolean",
     )
