@@ -661,6 +661,93 @@ def uniform_walk_path_oracle_sql(
     )
 
 
+def node2vec_walk_path_oracle_sql(
+    fixture_cte: str,
+    edges_name: str,
+    n_starts: int,
+    max_depth: int,
+    p: float,
+    q: float,
+    random_state: int = 42,
+) -> str:
+    """Exact oracle for ``node2vec_random_walks`` projected to
+    (walk_id, path, path_length) with '-'-joined external-id paths.
+
+    Mirrors sampling/random_walks.py's node2vec branch step by step: every
+    out-edge of ``cur`` is reweighted by the (prev, cur, dst) relation —
+    1/p when dst == prev (return), 1.0 when (prev, dst) is itself an edge
+    (in-out), 1/q otherwise (explore; also the entire first step, where
+    prev is NULL so both earlier CASE arms miss) — then the pick is
+    inverse-CDF over the dst-ordered cumulative weights at threshold
+    r = pmod(xxhash64(walk_id, step, seed), 2^30) / 2^30.
+
+    Cross-engine exactness: the registry calls this with p/q whose
+    reciprocals are small powers of two (p=0.5, q=0.25 -> weights in
+    {2.0, 1.0, 4.0}), so every cumulative sum is an exact
+    integer-in-double in BOTH engines (no float-association drift), r is
+    exact (h < 2^30 divided by 2^30), and r*tot needs < 53 mantissa bits
+    — the comparison is bit-identical."""
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    assert inv_p == int(inv_p) and inv_q == int(inv_q), (
+        "exact oracle requires 1/p and 1/q to be exact small doubles"
+    )
+    defs = [fixture_cte.strip().strip(",")]
+    defs.append(
+        f"n2_starts AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS walk_id,"
+        f" vertex AS cur, NULL::BIGINT AS prev FROM (SELECT DISTINCT src AS vertex FROM {edges_name}"
+        f" ORDER BY vertex LIMIT {n_starts}))"
+    )
+    trace_selects = ["SELECT walk_id, 0 AS step, cur AS vertex FROM n2_starts"]
+    prev = "n2_starts"
+    for step in range(1, max_depth + 1):
+        # per-walk inverse-CDF threshold r for this step (hash of
+        # (walk_id, step, seed) — no dst: one draw per walker per step)
+        steps, h = xxhash64_steps(
+            f"nv{step}",
+            [("walk_id", "long"), (str(step), "int"), (str(random_state), "int")],
+            seed=42,
+        )
+        rdefs, rlast = cte_chain(prev, steps, f"n2h{step}_")
+        defs += rdefs
+        rsel = f"n2r{step}"
+        defs.append(
+            f"{rsel} AS MATERIALIZED (SELECT walk_id, cur, prev,"
+            f" {pmod_sql(to_i64(h), 1 << 30)} / 1073741824.0 AS r FROM {rlast})"
+        )
+        cand = f"n2c{step}"
+        defs.append(
+            f"{cand} AS MATERIALIZED (SELECT w.walk_id, w.cur AS vsrc, e.dst, w.r,"
+            f" CASE WHEN e.dst = w.prev THEN {inv_p!r}"
+            f" WHEN a.dst IS NOT NULL THEN 1.0 ELSE {inv_q!r} END AS w"
+            f" FROM {rsel} w JOIN {edges_name} e ON e.src = w.cur"
+            f" LEFT JOIN {edges_name} a ON a.src = w.prev AND a.dst = e.dst)"
+        )
+        agg = f"n2b{step}"
+        defs.append(
+            f"{agg} AS MATERIALIZED (SELECT walk_id, vsrc, dst, r, w,"
+            f" SUM(w) OVER (PARTITION BY walk_id) AS tot,"
+            f" SUM(w) OVER (PARTITION BY walk_id ORDER BY dst"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+            f" FROM {cand})"
+        )
+        chosen = f"n2w{step}"
+        # WHERE runs before the QUALIFY window in DuckDB, mirroring
+        # Spark's eligible-filter-then-row_number exactly
+        defs.append(
+            f"{chosen} AS MATERIALIZED (SELECT walk_id, dst AS cur, vsrc AS prev"
+            f" FROM {agg} WHERE cum >= r * tot"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY cum, dst) = 1)"
+        )
+        trace_selects.append(f"SELECT walk_id, {step} AS step, cur AS vertex FROM {chosen}")
+        prev = chosen
+    defs.append(f"n2_trace AS MATERIALIZED ({' UNION ALL '.join(trace_selects)})")
+    return (
+        f"WITH {', '.join(defs)} "
+        f"SELECT walk_id, string_agg(vertex::VARCHAR, '-' ORDER BY step) AS path, "
+        f"COUNT(*) - 1 AS path_length FROM n2_trace GROUP BY walk_id"
+    )
+
+
 def _ge_threshold(p_col: str, t: float) -> str:
     """SQL for ``(p / 2^30) >= t`` with p an exact integer in [0, 2^30).
 

@@ -2671,6 +2671,35 @@ def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["random_walks_cust_supp"] = _walks_oracle()
 
 
+@register("node2vec_walks_cust_supp")
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec_random_walks with p=0.5/q=0.25 so both the return (1/p)
+    and in-out/explore (1.0 vs 1/q) reweighting branches fire; the
+    reciprocals are powers of two, keeping every cumulative weight an
+    exact integer-in-double for the cross-engine inverse-CDF oracle."""
+    from cugraph_spark import node2vec_random_walks
+
+    g = cust_supp_graph(spark, sf_dir)
+    starts = [r["vertex"] for r in g.nodes().orderBy("vertex").limit(12).collect()]
+    out = node2vec_random_walks(g, starts, 4, p=0.5, q=0.25)
+    return out.select(
+        "walk_id",
+        F.concat_ws("-", F.col("vertex_path").cast("array<string>")).alias("path"),
+        "path_length",
+    )
+
+
+def _node2vec_oracle() -> str:
+    from cugraph_spark.testing.oracles import node2vec_walk_path_oracle_sql
+
+    return node2vec_walk_path_oracle_sql(CUST_SUPP_SQL, "cs_edges", 12, 4, p=0.5, q=0.25)
+
+
+# exact oracle: per-step (prev,cur,dst) reweighting + inverse-CDF pick at
+# the xxhash64 threshold, replicated in DuckDB (testing/oracles.py)
+ORACLES["node2vec_walks_cust_supp"] = _node2vec_oracle()
+
+
 @register("neighbor_sample_cust_supp")
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark import homogeneous_neighbor_sample
