@@ -10,11 +10,13 @@ this container):
 - REAL header decode (actual bytes parsing, exact dimensions): PNG,
   JPEG (SOF marker walk), GIF, BMP, binary PPM/PGM;
 - REAL raster decode + pixel features (channel means / brightness
-  stats): uncompressed 24-bit BMP and binary PPM/PGM;
+  stats): uncompressed 24-bit BMP, binary PPM/PGM, and 8-bit
+  non-interlaced PNG (stdlib zlib inflate + scanline unfiltering);
 - REAL audio decode via the stdlib ``wave`` module: PCM WAV channel
   count / sample rate / duration plus RMS + zero-crossing features;
 - STUB (deterministic digest-driven fake, clearly marked): pixel data
-  of compressed codecs (JPEG/PNG/WEBP rasters, video frames). A codec
+  of the remaining compressed codecs (JPEG/WEBP rasters, palette/16-bit
+  PNG, video frames). A codec
   deployment swaps ``_feature_stub`` for a real decoder and nothing
   else changes — schemas, batch iteration and partitioning are real.
 """
@@ -204,6 +206,75 @@ def _pil_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
         return None
 
 
+def _png_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
+    """REAL stdlib PNG raster decode — zlib inflate + per-scanline
+    unfiltering (filters 0-4 per the public PNG spec) for 8-bit
+    non-interlaced gray / gray+alpha / RGB / RGBA. Makes the most common
+    compressed raster format real with zero new dependencies; palette,
+    16-bit and interlaced PNGs return None (PIL gate or digest stub).
+    Returns (width, height, raster_bytes, n_channels), the same shape
+    ``decode_raster`` yields, so the feature path is identical."""
+    import zlib
+
+    if len(raw) < 33 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    w = h = bit = ct = interlace = None
+    idat = bytearray()
+    try:
+        while i + 8 <= len(raw):
+            (length,) = struct.unpack(">I", raw[i : i + 4])
+            ctype = raw[i + 4 : i + 8]
+            data = raw[i + 8 : i + 8 + length]
+            if ctype == b"IHDR":
+                w, h, bit, ct, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            i += 12 + length
+        if w is None or bit != 8 or interlace != 0:
+            return None
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
+        if nch is None:
+            return None
+        plain = zlib.decompress(bytes(idat))
+    except Exception:
+        return None
+    stride = w * nch
+    if len(plain) != (stride + 1) * h:
+        return None
+    out = bytearray(stride * h)
+    for r in range(h):
+        base = r * (stride + 1)
+        f = plain[base]
+        if f > 4:
+            return None
+        o = r * stride
+        po = o - stride
+        for x in range(stride):
+            v = plain[base + 1 + x]
+            a = out[o + x - nch] if x >= nch else 0
+            b = out[po + x] if r > 0 else 0
+            if f == 0:
+                rec = v
+            elif f == 1:
+                rec = v + a
+            elif f == 2:
+                rec = v + b
+            elif f == 3:
+                rec = v + ((a + b) >> 1)
+            else:  # 4: Paeth
+                c = out[po + x - nch] if (r > 0 and x >= nch) else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                rec = v + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else c))
+            out[o + x] = rec & 0xFF
+    return w, h, bytes(out), nch
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
     """STUB fallback for undecodable payloads: deterministic fake
     (width, height, format) from a stable digest of the bytes. A codec
@@ -237,6 +308,8 @@ def decode_images(
                 ras = decode_raster(raw)
                 if ras is None:
                     ras = _pil_decode(raw)
+                if ras is None:
+                    ras = _png_decode(raw)
                 if hdr is not None:
                     w, h, fmt = hdr
                 elif ras is not None:

@@ -366,6 +366,97 @@ def test_multimodal_real_decoders(spark):
     assert a[2]["format"] == "audio-stub"
 
 
+def _encode_png(w, h, pixels, color_type, filters):
+    """Minimal stdlib PNG writer (zlib + struct + crc32) used to prove
+    the stdlib decoder on REAL spec-conformant files: each scanline is
+    filtered with the given per-row filter types (0=None 1=Sub 2=Up
+    3=Average 4=Paeth)."""
+    import struct as st
+    import zlib
+    from binascii import crc32
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * nch
+    raw = bytearray()
+    for r in range(h):
+        f = filters[r % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            v = pixels[r * stride + x]
+            a = pixels[r * stride + x - nch] if x >= nch else 0
+            b = pixels[(r - 1) * stride + x] if r > 0 else 0
+            c = pixels[(r - 1) * stride + x - nch] if (r > 0 and x >= nch) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((v - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_stdlib_raster_decode(spark):
+    """8-bit PNGs decode for REAL in this container (no Pillow): pixel
+    features must match the known raster through every filter type, for
+    RGB, RGBA and grayscale; palette PNGs keep real header dims but fall
+    back to the digest stub feature."""
+    from cugraph_spark.pipelines.multimodal import (
+        _feature_stub,
+        _pixel_feature,
+        _png_decode,
+        decode_images,
+    )
+
+    # 3x5 RGB with a deterministic gradient, one row per filter type
+    w, h = 3, 5
+    rgb = bytes((r * 37 + x * 11) % 256 for r in range(h) for x in range(w * 3))
+    png_rgb = _encode_png(w, h, rgb, 2, [0, 1, 2, 3, 4])
+    got = _png_decode(png_rgb)
+    assert got == (w, h, rgb, 3)
+
+    # RGBA (Paeth everywhere) and grayscale (Sub everywhere)
+    rgba = bytes((r * 53 + x * 7) % 256 for r in range(4) for x in range(2 * 4))
+    assert _png_decode(_encode_png(2, 4, rgba, 6, [4])) == (2, 4, rgba, 4)
+    gray = bytes((r * 29 + x * 3) % 256 for r in range(3) for x in range(4))
+    assert _png_decode(_encode_png(4, 3, gray, 0, [1])) == (4, 3, gray, 1)
+
+    # palette (color type 3) is out of scope -> None
+    pal = _encode_png(2, 2, bytes(4), 0, [0])
+    pal = pal.replace(b"\x08\x00\x00\x00\x00", b"\x08\x03\x00\x00\x00", 1)
+    assert _png_decode(pal) is None
+
+    # end-to-end through the Arrow-batched mapInPandas stage
+    df = spark.createDataFrame(
+        [(1, bytearray(png_rgb)), (2, bytearray(pal))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (w, h, "png")
+    # feature rides as array<float>: float32 round-trip tolerance
+    assert out[1]["feature"] == pytest.approx(_pixel_feature(rgb, 3), abs=1e-6)
+    assert out[2]["feature"] == pytest.approx(_feature_stub(bytes(pal)), abs=1e-6)
+
+
 def test_pil_feature_gate(monkeypatch):
     """Runtime codec gate: with Pillow installed the compressed-codec
     raster path is real; without it the gate returns None (digest stub
