@@ -24,6 +24,7 @@ join key means only the small vertex side shuffles each iteration.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 from typing import Iterator, Sequence
 
@@ -105,8 +106,21 @@ def collect_scalars(df: DataFrame, exprs: Sequence[Column]) -> tuple:
     return tuple(row)
 
 
+def storage_level() -> StorageLevel:
+    """Cache level for big persisted tables (graph edge lists,
+    loop-invariant joined tables).
+
+    Env-overridable (``SPARK_GRAFT_PERSIST_LEVEL``, any StorageLevel
+    name) for memory-pressure A/Bs: at R-MAT scale-23 a 258M-row cached
+    graph plus per-iteration shuffle blocks contend for one 64 GiB heap,
+    and ``DISK_ONLY`` / off-heap arms quantify how much of the wall time
+    is cache-eviction thrash rather than compute."""
+    name = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "MEMORY_AND_DISK")
+    return getattr(StorageLevel, name, StorageLevel.MEMORY_AND_DISK)
+
+
 def persist(df: DataFrame) -> DataFrame:
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df.persist(storage_level())
 
 
 # A (vertex-state) table below this row count is cheaper to broadcast to

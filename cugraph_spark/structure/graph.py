@@ -28,6 +28,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..plans import iterloop
 from ..constants import (
     SRC,
     DST,
@@ -212,7 +213,7 @@ class Graph:
         # reuses this one build-time sort instead of re-sorting the edge
         # table each iteration (bucketed-table semantics for the cache).
         edges = edges.sortWithinPartitions(SRC, DST)
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = edges.persist(iterloop.storage_level())
         # Right-size the cached partitioning to the DATA, not the config:
         # iterative operators rescan this table every pass, and at small
         # scale 32 near-empty partitions cost more in task scheduling than
@@ -236,7 +237,7 @@ class Graph:
             resized = (
                 edges.repartition(int(ideal), SRC)
                 .sortWithinPartitions(SRC, DST)
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .persist(iterloop.storage_level())
             )
             resized.count()
             edges.unpersist()
@@ -264,7 +265,7 @@ class Graph:
         mapped = nm.vertices_internal()
         if mapped is not None:
             vset = mapped  # map already includes isolated vertices
-        self._vertices = vset.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        self._vertices = vset.distinct().persist(iterloop.storage_level())
         return self
 
     # alias matching the reference dispatch entry points
@@ -645,7 +646,7 @@ class Graph:
             # bucketed-table source (sources.save_graph_table): the
             # catalog bucketing spec already hash-distributes and sorts
             # on src — caching it as-is preserves that layout, no shuffle
-            self._edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+            self._edges = edges.persist(iterloop.storage_level())
         else:
             n_rows = meta["edge_count"] or edges.count()
             row_bytes = 8 * len(edges.columns) + 16
@@ -654,9 +655,9 @@ class Graph:
             self._edges = (
                 edges.repartition(int(ideal), SRC)
                 .sortWithinPartitions(SRC, DST)
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .persist(iterloop.storage_level())
             )
-        self._vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
+        self._vertices = vertices.persist(iterloop.storage_level())
         ext_types = [T._parse_datatype_string(s) for s in meta["external_types"]]
         self._nm = NumberMap(
             map_df=vertex_map,

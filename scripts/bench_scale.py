@@ -9,10 +9,18 @@ BFS 0.569s, SSSP 1.481s (benchmarks/cugraph/standalone).
 
 Usage: python scripts/bench_scale.py [scale ...]   (default: 18 20 22)
 Set SPARK_GRAFT_DRIVER_MEM=48g for scale >= 22 (134M symmetrized rows).
+SPARK_GRAFT_SCALE_OPS selects ops (comma list, default
+"pagerank,bfs,wcc,sssp"; also available: "triangles" — the reference's
+own pytest-bench counts triangles at scale-20
+(benchmarks/cugraph/pytest-based/bench_algos.py) — and "louvain3", three
+synchronous local-move passes of the level-0 louvain loop, the
+shuffle-heaviest non-traversal pattern: per-pass edge-sized
+groupBy(vertex, community)).
 Prints one JSON line per scale.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,6 +31,7 @@ from cugraph_spark.session import get_spark
 from cugraph_spark import Graph, pagerank, bfs, weakly_connected_components, sssp, rmat
 
 scales = [int(a) for a in sys.argv[1:]] or [18, 20, 22]
+ops = os.environ.get("SPARK_GRAFT_SCALE_OPS", "pagerank,bfs,wcc,sssp").split(",")
 
 spark = get_spark("scale_probe")
 spark.sparkContext.setLogLevel("ERROR")
@@ -39,25 +48,57 @@ for scale in scales:
     res["vertices"] = g.number_of_vertices()
     res["build"] = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    pagerank(g, max_iter=10, tol=0.0, fail_on_nonconvergence=False).agg(
-        F.sum("pagerank")
-    ).collect()
-    res["pagerank_10iter"] = round(time.time() - t0, 1)
+    if "pagerank" in ops:
+        t0 = time.time()
+        pagerank(g, max_iter=10, tol=0.0, fail_on_nonconvergence=False).agg(
+            F.sum("pagerank")
+        ).collect()
+        res["pagerank_10iter"] = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    bfs(g, 0).agg(F.max("distance")).collect()
-    res["bfs"] = round(time.time() - t0, 1)
+    if "bfs" in ops:
+        t0 = time.time()
+        bfs(g, 0).agg(F.max("distance")).collect()
+        res["bfs"] = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    weakly_connected_components(g).agg(F.countDistinct("labels")).collect()
-    res["wcc"] = round(time.time() - t0, 1)
+    if "wcc" in ops:
+        t0 = time.time()
+        weakly_connected_components(g).agg(F.countDistinct("labels")).collect()
+        res["wcc"] = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    sssp(g, 0).agg(
-        F.sum(F.when(F.col("distance") != float("inf"), F.col("distance")))
-    ).collect()
-    res["sssp"] = round(time.time() - t0, 1)
+    if "sssp" in ops:
+        t0 = time.time()
+        sssp(g, 0).agg(
+            F.sum(F.when(F.col("distance") != float("inf"), F.col("distance")))
+        ).collect()
+        res["sssp"] = round(time.time() - t0, 1)
+
+    if "triangles" in ops:
+        from cugraph_spark import triangle_count
+
+        t0 = time.time()
+        res["triangles_total"] = triangle_count(g).agg(
+            (F.sum("counts") / 3).cast("long")
+        ).collect()[0][0]
+        res["triangle_count"] = round(time.time() - t0, 1)
+
+    if "louvain3" in ops:
+        from cugraph_spark.community.louvain import _one_level
+        from cugraph_spark.plans import iterloop
+
+        e = iterloop.materialize(
+            g.edgelist.select("src", "dst", F.col("weight").alias("_w"))
+        )
+        with iterloop.small_plan(
+            spark, res["vertices"], shuffled_rows=res["edges"]
+        ):
+            t0 = time.time()
+            assign, _ = _one_level(
+                e, 1.0, 3, 1e-7, compute_q=False, n_edges=res["edges"]
+            )
+            res["louvain3_comms"] = assign.agg(
+                F.countDistinct("community")
+            ).collect()[0][0]
+            res["louvain3"] = round(time.time() - t0, 1)
 
     print(json.dumps(res), flush=True)
     g.edgelist.unpersist()
