@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans import iterloop
+
 # md5-derived 64-bit-ish hash (15 hex digits = 60 bits, positive): same
 # expression is reproducible in DuckDB SQL.
 def _md5_long(col):
@@ -167,6 +169,10 @@ def minhash_lsh_duplicates(
     sig = minhash_signatures(sh, num_hashes, id_col, seed)
     cand = minhash_lsh_candidates(sig, bands, id_col)
     out = verify_jaccard(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
+    # dup pairs ≪ corpus: materialize them and drop the doc×shingle cache
+    # rather than leaving it squatting in the session's storage pool
+    out = iterloop.materialize(out)
+    sh.unpersist()
     return out
 
 
@@ -223,10 +229,12 @@ def simhash_near_duplicates(
         .distinct()
     )
     hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
-    return (
+    out = iterloop.materialize(
         cand.select("first", "second", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    fp.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

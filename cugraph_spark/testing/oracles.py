@@ -691,7 +691,57 @@ def node2vec_walk_path_oracle_sql(
     assert inv_p == int(inv_p) and inv_q == int(inv_q), (
         "exact oracle requires 1/p and 1/q to be exact small doubles"
     )
+
+    def cand_body(rsel: str, edges: str) -> str:
+        return (
+            f"SELECT w.walk_id, w.cur AS vsrc, e.dst, w.r,"
+            f" CASE WHEN e.dst = w.prev THEN {inv_p!r}"
+            f" WHEN a.dst IS NOT NULL THEN 1.0 ELSE {inv_q!r} END AS w"
+            f" FROM {rsel} w JOIN {edges} e ON e.src = w.cur"
+            f" LEFT JOIN {edges} a ON a.src = w.prev AND a.dst = e.dst"
+        )
+
     defs = [fixture_cte.strip().strip(",")]
+    return _cdf_walk_sql(defs, edges_name, n_starts, max_depth, random_state, cand_body)
+
+
+def biased_walk_path_oracle_sql(
+    fixture_defs: list[str],
+    edges_name: str,
+    n_starts: int,
+    max_depth: int,
+    random_state: int = 42,
+) -> str:
+    """Exact oracle for ``biased_random_walks`` (weighted inverse-CDF
+    pick, no node2vec reweighting) projected to (walk_id, path,
+    path_length). ``fixture_defs`` must define ``edges_name`` with
+    columns (src, dst, weight) whose weights are exact small doubles
+    (powers of two) so cumulative sums compare bit-identically."""
+
+    def cand_body(rsel: str, edges: str) -> str:
+        return (
+            f"SELECT w.walk_id, w.cur AS vsrc, e.dst, w.r, e.weight AS w"
+            f" FROM {rsel} w JOIN {edges} e ON e.src = w.cur"
+        )
+
+    return _cdf_walk_sql(
+        list(fixture_defs), edges_name, n_starts, max_depth, random_state, cand_body
+    )
+
+
+def _cdf_walk_sql(
+    defs: list[str],
+    edges_name: str,
+    n_starts: int,
+    max_depth: int,
+    random_state: int,
+    cand_body,
+) -> str:
+    """Shared skeleton of the weighted-walk oracles: per step, one
+    per-walk threshold r = pmod(xxhash64(walk_id, step, seed), 2^30)/2^30,
+    a candidate CTE from ``cand_body(state_cte, edges_name)`` (must yield
+    walk_id, vsrc, dst, r, w), then the dst-ordered cumulative-sum pick —
+    exactly sampling/random_walks.py's non-uniform branch."""
     defs.append(
         f"n2_starts AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS walk_id,"
         f" vertex AS cur, NULL::BIGINT AS prev FROM (SELECT DISTINCT src AS vertex FROM {edges_name}"
@@ -715,13 +765,7 @@ def node2vec_walk_path_oracle_sql(
             f" {pmod_sql(to_i64(h), 1 << 30)} / 1073741824.0 AS r FROM {rlast})"
         )
         cand = f"n2c{step}"
-        defs.append(
-            f"{cand} AS MATERIALIZED (SELECT w.walk_id, w.cur AS vsrc, e.dst, w.r,"
-            f" CASE WHEN e.dst = w.prev THEN {inv_p!r}"
-            f" WHEN a.dst IS NOT NULL THEN 1.0 ELSE {inv_q!r} END AS w"
-            f" FROM {rsel} w JOIN {edges_name} e ON e.src = w.cur"
-            f" LEFT JOIN {edges_name} a ON a.src = w.prev AND a.dst = e.dst)"
-        )
+        defs.append(f"{cand} AS MATERIALIZED ({cand_body(rsel, edges_name)})")
         agg = f"n2b{step}"
         defs.append(
             f"{agg} AS MATERIALIZED (SELECT walk_id, vsrc, dst, r, w,"

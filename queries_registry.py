@@ -2700,6 +2700,64 @@ def _node2vec_oracle() -> str:
 ORACLES["node2vec_walks_cust_supp"] = _node2vec_oracle()
 
 
+@register("biased_walks_cust_supp")
+def q_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """biased_random_walks over xxhash64-derived power-of-two edge
+    weights ({1.0, 2.0, 4.0}): exact small doubles keep both engines'
+    cumulative sums bit-identical, making the weighted inverse-CDF pick
+    exactly comparable (same trick as the node2vec oracle)."""
+    from cugraph_spark import Graph, biased_random_walks
+
+    pairs = cust_supp_pairs(spark, sf_dir)
+    h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    w = (
+        F.when(h == 0, F.lit(1.0)).when(h == 1, F.lit(2.0)).otherwise(F.lit(4.0))
+    )
+    g = Graph(directed=False)
+    g.from_edgelist(pairs.withColumn("weight", w), "src", "dst", weight="weight")
+    starts = [r["vertex"] for r in g.nodes().orderBy("vertex").limit(12).collect()]
+    out = biased_random_walks(g, starts, 4)
+    return out.select(
+        "walk_id",
+        F.concat_ws("-", F.col("vertex_path").cast("array<string>")).alias("path"),
+        "path_length",
+    )
+
+
+def _biased_walks_oracle() -> str:
+    from cugraph_spark.testing.oracles import biased_walk_path_oracle_sql
+    from cugraph_spark.testing.xxh_sql import (
+        cte_chain,
+        pmod_sql,
+        to_i64,
+        xxhash64_steps,
+    )
+
+    # replicate the weight derivation: xxhash64(a, b) over the one-per-
+    # undirected-pair table, then symmetrize carrying the weight
+    steps, h = xxhash64_steps("bw", [("a", "long"), ("b", "long")], seed=42)
+    hdefs, hlast = cte_chain("cs_pairs", steps, "bwh_")
+    case = (
+        f"CASE {pmod_sql(to_i64(h), 3)} WHEN 0 THEN 1.0 WHEN 1 THEN 2.0"
+        f" ELSE 4.0 END"
+    )
+    defs = (
+        [CUST_SUPP_SQL.strip().strip(",")]
+        + hdefs
+        + [
+            f"bw_pairs AS MATERIALIZED (SELECT a, b, {case} AS weight FROM {hlast})",
+            "bw_edges AS MATERIALIZED (SELECT a AS src, b AS dst, weight FROM bw_pairs"
+            " UNION ALL SELECT b AS src, a AS dst, weight FROM bw_pairs)",
+        ]
+    )
+    return biased_walk_path_oracle_sql(defs, "bw_edges", 12, 4)
+
+
+# exact oracle: weighted inverse-CDF pick over power-of-two weights,
+# replicated in DuckDB (testing/oracles.py)
+ORACLES["biased_walks_cust_supp"] = _biased_walks_oracle()
+
+
 @register("neighbor_sample_cust_supp")
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cugraph_spark import homogeneous_neighbor_sample
