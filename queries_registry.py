@@ -289,6 +289,70 @@ def q_pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("vertex", F.round("pagerank", 6).alias("pagerank"))
 
 
+def _pagerank_pers_unrolled_sql(
+    edges_cte: str, edges_name: str, alpha: float, iters: int, weighted: bool
+) -> str:
+    """Personalized-pagerank oracle: same power method but the reset
+    vector p is values/total over the deterministic personalization
+    (v % 3 == 0 -> value v % 7 + 1), with dangling mass redistributed
+    through p (pagerank.py:186), matching the Spark implementation."""
+    w = "weight" if weighted else "1.0"
+    parts = [
+        f"WITH {edges_cte.strip()},",
+        f"verts AS MATERIALIZED (SELECT src AS v FROM {edges_name} UNION SELECT dst FROM {edges_name}),",
+        "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        f"outw AS MATERIALIZED (SELECT src, SUM({w}) AS ow FROM {edges_name} GROUP BY src),",
+        f"ne AS MATERIALIZED (SELECT e.src, e.dst, {w} / o.ow AS coef FROM {edges_name} e JOIN outw o ON e.src = o.src),",
+        "dangv AS MATERIALIZED (SELECT v.v FROM verts v LEFT JOIN outw o ON v.v = o.src WHERE o.src IS NULL),",
+        "pers AS MATERIALIZED (SELECT v, CAST(v % 7 + 1 AS DOUBLE) AS val FROM verts WHERE v % 3 = 0),",
+        "ptot AS MATERIALIZED (SELECT SUM(val) AS t FROM pers),",
+        "pvec AS MATERIALIZED (SELECT v.v, COALESCE(p.val, 0) / ptot.t AS pv"
+        " FROM verts v CROSS JOIN ptot LEFT JOIN pers p ON p.v = v.v),",
+        # initial ranks stay UNIFORM (impl: nstart is what seeds ranks;
+        # personalization only reshapes the reset vector)
+        "r0 AS MATERIALIZED (SELECT v.v, 1.0 / nv.n AS r FROM verts v CROSS JOIN nv),",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i+1}"
+        parts.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT pv.v,
+         (1 - {alpha}) * pv.pv
+         + {alpha} * (COALESCE(m.s, 0)
+            + (SELECT COALESCE(SUM(p.r), 0) FROM {prev} p JOIN dangv d ON p.v = d.v)
+              * pv.pv) AS r
+  FROM pvec pv
+  LEFT JOIN (SELECT e.dst AS v, SUM(e.coef * p.r) AS s
+             FROM ne e JOIN {prev} p ON e.src = p.v GROUP BY e.dst) m
+    ON pv.v = m.v
+),"""
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT v AS vertex, ROUND(r, 6) AS pagerank FROM r{iters}"
+
+
+@register(
+    "pagerank_personalized_nation_flow",
+    oracle=_pagerank_pers_unrolled_sql(NATION_FLOW_SQL, "nf_edges", 0.85, PR_ITERS, weighted=True),
+)
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized pagerank (SURVEY §2.C): deterministic personalization
+    over a third of the vertices; dangling mass follows the reset vector."""
+    from cugraph_spark import pagerank
+
+    g = nation_flow_graph(spark, sf_dir, directed=True)
+    pers = (
+        g.nodes()
+        .filter(F.col("vertex") % 3 == 0)
+        .select("vertex", (F.col("vertex") % 7 + 1).cast("double").alias("values"))
+    )
+    pr = pagerank(
+        g, alpha=0.85, personalization=pers, max_iter=PR_ITERS, tol=0.0,
+        fail_on_nonconvergence=False,
+    )
+    return pr.select("vertex", F.round("pagerank", 6).alias("pagerank"))
+
+
 @register(
     "pagerank_copurchase",
     oracle=_pagerank_unrolled_sql(COPURCHASE_SQL, "cp_edges", 0.85, 20, weighted=False),
@@ -768,6 +832,48 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = copurchase_sparse_graph(spark, sf_dir)
     return triangle_count(g)
+
+
+@register(
+    "edge_triangle_count_copurchase_sparse",
+    oracle=f"""
+WITH {COPURCHASE_SPARSE_SQL.strip()},
+etc_deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM cps_edges GROUP BY 1),
+-- the operator's output keys are degree-oriented: lower (degree, id) -> higher
+etc_orient AS MATERIALIZED (
+    SELECT CASE WHEN da.d <= db.d THEN p.src ELSE p.dst END AS src,
+           CASE WHEN da.d <= db.d THEN p.dst ELSE p.src END AS dst
+    FROM cps_pairs p
+    JOIN etc_deg da ON da.v = p.src
+    JOIN etc_deg db ON db.v = p.dst
+),
+etc_tri AS MATERIALIZED (
+    SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+    FROM cps_pairs ab
+    JOIN cps_pairs bc ON ab.dst = bc.src
+    JOIN cps_pairs ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+etc_sides AS MATERIALIZED (
+    SELECT a AS lo, b AS hi FROM etc_tri
+    UNION ALL SELECT b, c FROM etc_tri
+    UNION ALL SELECT a, c FROM etc_tri
+)
+SELECT o.src, o.dst, CAST(COALESCE(s.c, 0) AS BIGINT) AS counts
+FROM etc_orient o
+LEFT JOIN (SELECT lo, hi, COUNT(*) AS c FROM etc_sides GROUP BY 1, 2) s
+  ON s.lo = LEAST(o.src, o.dst) AND s.hi = GREATEST(o.src, o.dst)
+""",
+)
+def q_edge_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle counts over the degree-oriented representation
+    (SURVEY §2.D; reference edge_triangle_count_impl.cuh). The oracle
+    enumerates id-ordered triangles, counts the three unordered sides,
+    and re-derives the same (degree, id) orientation for the output keys
+    (ties orient by id: cps_pairs is already id-ordered)."""
+    from cugraph_spark.community.triangle_count import edge_triangle_count
+
+    g = copurchase_sparse_graph(spark, sf_dir)
+    return edge_triangle_count(g)
 
 
 # ---------------------------------------------------------------------------
