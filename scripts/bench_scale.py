@@ -10,7 +10,7 @@ BFS 0.569s, SSSP 1.481s (benchmarks/cugraph/standalone).
 Usage: python scripts/bench_scale.py [scale ...]   (default: 18 20 22)
 Set SPARK_GRAFT_DRIVER_MEM=48g for scale >= 22 (134M symmetrized rows).
 SPARK_GRAFT_SCALE_OPS selects ops (comma list, default
-"pagerank,bfs,wcc,sssp"; also available: "triangles" — the reference's
+"pagerank,bfs,wcc,sssp"; also available: "jaccard" (the reference's own two-hop-pairs-of-10-random-vertices jaccard bench shape), "triangles" — the reference's
 own pytest-bench counts triangles at scale-20
 (benchmarks/cugraph/pytest-based/bench_algos.py) — and "louvain3", three
 synchronous local-move passes of the level-0 louvain loop, the
@@ -80,6 +80,30 @@ for scale in scales:
             (F.sum("counts") / 3).cast("long")
         ).collect()[0][0]
         res["triangle_count"] = round(time.time() - t0, 1)
+
+    if "jaccard" in ops:
+        # Mirrors the reference's own jaccard benchmark shape
+        # (benchmarks/cugraph/pytest-based/bench_algos.py:311 +
+        # get_vertex_pairs:235): two-hop pairs of 10 random start
+        # vertices — full all-pairs OOMs even on the reference's GPUs,
+        # so the honest comparable is the seeded-subset wedge load. On
+        # R-MAT the draw usually lands hub-adjacent vertices, so the
+        # intersection join still sees million-row wedge fan-outs.
+        from cugraph_spark import all_pairs_jaccard
+
+        t0 = time.time()
+        verts = [
+            r["vertex"]
+            for r in g.select_random_vertices(
+                random_state=42, num_vertices=10
+            ).collect()
+        ]
+        sim = all_pairs_jaccard(g, vertices=verts)
+        row = sim.agg(
+            F.count("*").alias("p"), F.sum("jaccard_coeff").alias("s")
+        ).collect()[0]
+        res["jaccard_pairs"] = row["p"]
+        res["jaccard"] = round(time.time() - t0, 1)
 
     if "louvain3" in ops:
         from cugraph_spark.community.louvain import _one_level
