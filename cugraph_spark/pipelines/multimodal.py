@@ -10,13 +10,15 @@ this container):
 - REAL header decode (actual bytes parsing, exact dimensions): PNG,
   JPEG (SOF marker walk), GIF, BMP, binary PPM/PGM;
 - REAL raster decode + pixel features (channel means / brightness
-  stats): uncompressed 24-bit BMP, binary PPM/PGM, and 8-bit
-  non-interlaced PNG (stdlib zlib inflate + scanline unfiltering);
+  stats): uncompressed 24-bit BMP, binary PPM/PGM, 8-bit non-interlaced
+  PNG (stdlib zlib inflate + scanline unfiltering), and baseline
+  sequential JPEG (ITU-T T.81 SOF0: Huffman entropy decode + numpy
+  dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers);
 - REAL audio decode via the stdlib ``wave`` module: PCM WAV channel
   count / sample rate / duration plus RMS + zero-crossing features;
 - STUB (deterministic digest-driven fake, clearly marked): pixel data
-  of the remaining compressed codecs (JPEG/WEBP rasters, palette/16-bit
-  PNG, video frames). A codec
+  of the remaining compressed codecs (WEBP, progressive JPEG,
+  palette/16-bit PNG, video frames). A codec
   deployment swaps ``_feature_stub`` for a real decoder and nothing
   else changes — schemas, batch iteration and partitioning are real.
 """
@@ -275,6 +277,242 @@ def _png_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
     return w, h, bytes(out), nch
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]  # T.81 Figure A.6 coefficient zig-zag order
+
+
+class _BitReader:
+    """MSB-first bit reader over already-unstuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12 EXTEND: map a `size`-bit magnitude to its signed value."""
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def _jpeg_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
+    """REAL baseline JPEG decode (ITU-T T.81 sequential DCT, SOF0) with
+    stdlib + numpy only: marker walk, canonical Huffman entropy decode,
+    dequantize, vectorized 2-D IDCT, chroma upsample, JFIF YCbCr->RGB.
+    Handles 1- and 3-component scans, any h/v subsampling (4:4:4, 4:2:2,
+    4:2:0, ...), 16-bit quant tables, and restart markers. Progressive
+    (SOF2), arithmetic-coded and 12-bit payloads return None (PIL gate or
+    digest stub). Returns (width, height, raster_bytes, n_channels), the
+    same shape ``decode_raster`` yields."""
+    import numpy as np
+
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+        w = h = None
+        restart = 0
+        scan: list[tuple[int, int, int]] = []  # (comp_idx, td, ta)
+        i = 2
+        while i + 4 <= len(raw):
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker == 0xD9:  # EOI before any scan
+                return None
+            (seglen,) = struct.unpack(">H", raw[i + 2 : i + 4])
+            seg = raw[i + 4 : i + 2 + seglen]
+            if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                          0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF / arithmetic coding
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0xF
+                    j += 1
+                    n = 64 * (2 if pq else 1)
+                    vals = (
+                        np.frombuffer(seg[j : j + n], dtype=">u2").astype(np.int32)
+                        if pq
+                        else np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    )
+                    tbl = np.zeros(64, dtype=np.int32)
+                    tbl[_ZIGZAG] = vals
+                    qt[tq] = tbl.reshape(8, 8)
+                    j += n
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0xF
+                    counts = seg[j + 1 : j + 17]
+                    j += 17
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = seg[j]
+                            code += 1
+                            j += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker == 0xC0:  # SOF0 baseline
+                if seg[0] != 8:
+                    return None  # 12-bit precision
+                h, w = struct.unpack(">HH", seg[1:5])
+                ncomp = seg[5]
+                comps = [
+                    (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0xF,
+                     seg[8 + 3 * c])
+                    for c in range(ncomp)
+                ]
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                for c in range(ns):
+                    cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    idx = next(k for k, cm in enumerate(comps) if cm[0] == cid)
+                    scan.append((idx, tt >> 4, tt & 0xF))
+                i += 2 + seglen
+                break
+            i += 2 + seglen
+        if w is None or not scan or len(scan) != len(comps):
+            return None
+
+        # Split the entropy-coded data on restart markers, unstuffing 0xFF00.
+        segments: list[bytes] = []
+        cur = bytearray()
+        j = i
+        while j < len(raw):
+            b = raw[j]
+            if b == 0xFF:
+                nxt = raw[j + 1] if j + 1 < len(raw) else 0xD9
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    j += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    j += 2
+                    continue
+                break  # EOI or next header marker ends the scan
+            cur.append(b)
+            j += 1
+        segments.append(bytes(cur))
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        # Per-component dequantized coefficient planes, in 8x8 block grid.
+        planes = [
+            np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+            for _, ch, cv, _ in comps
+        ]
+
+        n_mcu = mcux * mcuy
+        per_seg = restart if restart else n_mcu
+        mcu = 0
+        for seg_bytes in segments:
+            if mcu >= n_mcu:
+                break
+            reader = _BitReader(seg_bytes)
+            pred = [0] * len(comps)
+            for _ in range(min(per_seg, n_mcu - mcu)):
+                my, mx = divmod(mcu, mcux)
+                for ci, td, ta in scan:
+                    _, ch, cv, tq = comps[ci]
+                    q = qt[tq]
+                    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = np.zeros(64, dtype=np.float64)
+                            s = _huff_decode(reader, dc_tab)
+                            pred[ci] += _extend(reader.read_bits(s), s)
+                            blk[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, ac_tab)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r != 15:
+                                        break  # EOB
+                                    k += 16  # ZRL
+                                    continue
+                                k += r
+                                blk[_ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+                                k += 1
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                                blk.reshape(8, 8) * q
+                            )
+                mcu += 1
+
+        # Vectorized 2-D IDCT over every 8x8 block: spatial = A^T @ C @ A,
+        # A[u, x] = 0.5 * c(u) * cos((2x + 1) u pi / 16).
+        xs = np.arange(8)
+        A = 0.5 * np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+        A[0] *= 1 / np.sqrt(2)
+        out_planes = []
+        for ci, (_, ch, cv, _) in enumerate(comps):
+            p = planes[ci]
+            by, bx = p.shape[0] // 8, p.shape[1] // 8
+            blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+            spatial = np.einsum("ux,nmuv,vy->nmxy", A, blocks, A)
+            plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+            # Upsample subsampled chroma to full MCU resolution, crop to image.
+            plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
+            out_planes.append(plane[:h, :w])
+
+        if len(comps) == 1:
+            gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+            return int(w), int(h), gray.tobytes(), 1
+        if len(comps) != 3:
+            return None
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+        return int(w), int(h), rgb.tobytes(), 3
+    except Exception:
+        return None
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
     """STUB fallback for undecodable payloads: deterministic fake
     (width, height, format) from a stable digest of the bytes. A codec
@@ -295,9 +533,11 @@ def decode_images(
 ) -> DataFrame:
     """binary payloads -> typed metadata + feature vector via Arrow-batched
     mapInPandas. Header metadata is REAL for PNG/JPEG/GIF/BMP/PPM; pixel
-    features are REAL for uncompressed rasters (PPM/PGM/24-bit BMP) —
-    and, when Pillow is installed (runtime feature gate), for compressed
-    codecs too; digest-stubbed otherwise (marked format unchanged)."""
+    features are REAL for uncompressed rasters (PPM/PGM/24-bit BMP),
+    8-bit non-interlaced PNG and baseline JPEG (stdlib+numpy decoders) —
+    and, when Pillow is installed (runtime feature gate), for the rest of
+    the compressed codecs too; digest-stubbed otherwise (marked format
+    unchanged)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -310,6 +550,8 @@ def decode_images(
                     ras = _pil_decode(raw)
                 if ras is None:
                     ras = _png_decode(raw)
+                if ras is None:
+                    ras = _jpeg_decode(raw)
                 if hdr is not None:
                     w, h, fmt = hdr
                 elif ras is not None:
