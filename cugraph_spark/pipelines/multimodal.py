@@ -16,6 +16,9 @@ this container):
   dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers);
 - REAL audio decode via the stdlib ``wave`` module: PCM WAV channel
   count / sample rate / duration plus RMS + zero-crossing features;
+- REAL video container metadata: MP4/MOV ISO-BMFF box walk (mvhd
+  duration, tkhd track dims, versions 0/1) and AVI RIFF avih — feeds
+  ``sample_video_frames`` with real durations;
 - STUB (deterministic digest-driven fake, clearly marked): pixel data
   of the remaining compressed codecs (WEBP, progressive JPEG,
   palette/16-bit PNG, video frames). A codec
@@ -50,6 +53,18 @@ AUDIO_META_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_channels", T.IntegerType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_s", T.DoubleType(), True),
         T.StructField("format", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
@@ -643,6 +658,115 @@ def decode_audio(
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+def _mp4_boxes(b: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    b[start:end], handling 64-bit largesize and to-end-of-file boxes."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def parse_video_header(b: bytes) -> Optional[tuple[int, int, float, str]]:
+    """REAL container-metadata parse for MP4/MOV (ISO-BMFF box walk:
+    ``mvhd`` timescale/duration, ``tkhd`` track dimensions, versions 0
+    and 1) and AVI (RIFF ``avih``: frame period, frame count, dims) —
+    exact (width, height, duration_s, format) from the actual bytes;
+    None when the payload is neither. Frame PIXEL data stays behind the
+    codec stub — only the metadata tier is stdlib-decodable."""
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        brand = b[8:12]
+        fmt = "mov" if brand in (b"qt  ", b"MOOV") else "mp4"
+        dur = 0.0
+        w = h = 0
+        for typ, s, e in _mp4_boxes(b, 0, len(b)):
+            if typ != b"moov":
+                continue
+            for t2, s2, e2 in _mp4_boxes(b, s, e):
+                if t2 == b"mvhd" and e2 - s2 >= 20:
+                    ver = b[s2]
+                    if ver == 1 and e2 - s2 >= 32:
+                        (ts,) = struct.unpack(">I", b[s2 + 20 : s2 + 24])
+                        (d,) = struct.unpack(">Q", b[s2 + 24 : s2 + 32])
+                    else:
+                        (ts,) = struct.unpack(">I", b[s2 + 12 : s2 + 16])
+                        (d,) = struct.unpack(">I", b[s2 + 16 : s2 + 20])
+                    dur = d / ts if ts else 0.0
+                elif t2 == b"trak":
+                    for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                        if t3 != b"tkhd":
+                            continue
+                        off = 88 if b[s3] == 1 else 76
+                        if e3 - s3 >= off + 8 and not (w or h):
+                            tw, th = struct.unpack(
+                                ">II", b[s3 + off : s3 + off + 8]
+                            )
+                            # 16.16 fixed point; audio tracks carry 0x0
+                            if tw and th:
+                                w, h = tw >> 16, th >> 16
+        return w, h, round(dur, 6), fmt
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        j = b.find(b"avih")
+        if j < 0 or j + 48 > len(b):
+            return None
+        usec_pf, _, _, _, n_frames = struct.unpack("<IIIII", b[j + 8 : j + 28])
+        w, h = struct.unpack("<II", b[j + 40 : j + 48])
+        dur = usec_pf * n_frames / 1e6
+        return w, h, round(dur, 6), "avi"
+    return None
+
+
+def decode_videos(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload", feature_dim: int = 8
+) -> DataFrame:
+    """binary payloads -> video metadata + features via mapInPandas.
+    Container metadata (dims, duration) is REAL for MP4/MOV/AVI from the
+    actual box/chunk structures; frame pixel features are digest-stubbed
+    (no video codec in stdlib) with the format kept real so downstream
+    filters can split decodable work from stub work. The output feeds
+    ``sample_video_frames`` directly (duration_s column)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                meta = parse_video_header(raw)
+                if meta is not None:
+                    w, h, dur, fmt = meta
+                else:
+                    d = hashlib.md5(raw or b"").digest()
+                    w, h = 160 + d[0] % 1024, 120 + d[1] % 1024
+                    dur = round(1.0 + d[2] / 8.0, 3)
+                    fmt = "video-stub"
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": int(w),
+                        "height": int(h),
+                        "duration_s": float(dur),
+                        "format": fmt,
+                        "n_bytes": len(raw),
+                        "feature": _feature_stub(raw, feature_dim),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_META_SCHEMA)
 
 
 def resize_images(df: DataFrame, max_side: int, width_col: str = "width", height_col: str = "height") -> DataFrame:

@@ -698,6 +698,77 @@ def test_jpeg_stdlib_raster_decode(spark):
     assert (out[2]["width"], out[2]["height"]) == (16, 16)
 
 
+def _box(typ, payload):
+    import struct as st
+
+    return st.pack(">I", len(payload) + 8) + typ + payload
+
+
+def test_video_container_metadata(spark):
+    """MP4/MOV and AVI container metadata decodes for REAL (box/chunk
+    walk, both mvhd/tkhd versions); frame pixels stay stubbed; the
+    decoded duration feeds sample_video_frames end-to-end."""
+    import struct as st
+
+    from cugraph_spark.pipelines.multimodal import (
+        decode_videos,
+        parse_video_header,
+        sample_video_frames,
+    )
+
+    # MP4, version-0 headers: timescale 600, duration 1500 -> 2.5s; 320x240
+    mvhd0 = _box(b"mvhd", bytes(12) + st.pack(">II", 600, 1500) + bytes(80))
+    tkhd0 = _box(
+        b"tkhd", bytes(76) + st.pack(">II", 320 << 16, 240 << 16) + bytes(4)
+    )
+    trak0 = _box(b"trak", tkhd0)
+    mp4 = _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(b"moov", mvhd0 + trak0)
+    assert parse_video_header(mp4) == (320, 240, 2.5, "mp4")
+
+    # MOV brand + version-1 headers (64-bit duration): 90000/225000 -> 2.5s
+    mvhd1 = _box(
+        b"mvhd", b"\x01" + bytes(19) + st.pack(">IQ", 90000, 225000) + bytes(80)
+    )
+    tkhd1 = _box(
+        b"tkhd",
+        b"\x01" + bytes(87) + st.pack(">II", 1920 << 16, 1080 << 16) + bytes(4),
+    )
+    mov = _box(b"ftyp", b"qt  \x00\x00\x02\x00qt  ") + _box(
+        b"moov", mvhd1 + _box(b"trak", tkhd1)
+    )
+    assert parse_video_header(mov) == (1920, 1080, 2.5, "mov")
+
+    # audio-only track (0x0 dims) must not clobber the video track's dims
+    atrak = _box(b"trak", _box(b"tkhd", bytes(76) + st.pack(">II", 0, 0) + bytes(4)))
+    mp4_av = _box(b"ftyp", b"mp42\x00\x00\x02\x00mp42") + _box(
+        b"moov", mvhd0 + atrak + trak0
+    )
+    assert parse_video_header(mp4_av) == (320, 240, 2.5, "mp4")
+
+    # AVI: 40ms/frame * 50 frames = 2.0s; 640x480
+    avih = b"avih" + st.pack("<I", 56) + st.pack(
+        "<IIIII", 40000, 0, 0, 0, 50
+    ) + bytes(12) + st.pack("<II", 640, 480) + bytes(16)
+    avi = b"RIFF" + st.pack("<I", 4 + len(avih)) + b"AVI " + avih
+    assert parse_video_header(avi) == (640, 480, 2.0, "avi")
+
+    assert parse_video_header(b"not-a-video") is None
+
+    # end-to-end: decode metadata, then sample frames off the REAL duration
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(avi)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    meta = decode_videos(df)
+    got = {r["media_id"]: r for r in meta.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["duration_s"], got[1]["format"]) == (320, 240, 2.5, "mp4")
+    assert (got[2]["width"], got[2]["height"], got[2]["format"]) == (640, 480, "avi")
+    assert got[3]["format"] == "video-stub"
+    frames = sample_video_frames(meta.filter("media_id = 1"), fps=2.0).collect()
+    assert len(frames) == 5  # floor(2.5 * 2) frames
+    assert sorted(r["ts_s"] for r in frames) == [0.0, 0.5, 1.0, 1.5, 2.0]
+
+
 def test_pil_feature_gate(monkeypatch):
     """Runtime codec gate: with Pillow installed the compressed-codec
     raster path is real; without it the gate returns None (digest stub
