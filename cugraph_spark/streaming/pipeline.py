@@ -43,15 +43,21 @@ def start_graph_pipeline(
     watermark: str = "24 hours",
     dedup_keys: Sequence[str] = ("event_id",),
     available_now: bool = True,
+    reader_options: Optional[dict] = None,
 ):
     """Launch the composed stream: events -> dedup -> edges -> maintained
     edge table. Returns the StreamingQuery. ``trigger(availableNow=True)``
     processes everything currently in ``input_dir`` exactly once (the
     checkpoint remembers processed files across calls), which is both the
-    test mode and the scheduled-refresh mode."""
+    test mode and the scheduled-refresh mode. ``reader_options`` passes
+    source options through (e.g. ``maxFilesPerTrigger`` to bound
+    micro-batch size — availableNow still drains everything, split into
+    that many files per batch)."""
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     events = reader.parquet(input_dir)
     deduped = (
         events.withColumn("ts", F.col("ts").cast("timestamp"))
