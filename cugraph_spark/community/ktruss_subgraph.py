@@ -4,9 +4,10 @@ Reference: community/ktruss_subgraph.py:11,50 /
 cpp/src/community/k_truss_impl.cuh: maximal subgraph in which every edge
 participates in at least k-2 triangles.
 
-Spark mapping (SURVEY §2.A): IterLoop — per-edge triangle support via the
-oriented wedge join, delete edges below k-2, repeat until fixpoint. Each
-round's wedge join runs on the shrinking survivor edge set.
+Spark mapping (SURVEY §2.A): IterLoop — per-edge triangle support via
+degree-oriented neighbor-array intersection (triangle_count's plan),
+delete edges below k-2, repeat until fixpoint. Each round recomputes
+support and orientation on the shrinking survivor edge set.
 """
 
 from __future__ import annotations
@@ -19,15 +20,45 @@ from ..structure.graph import Graph
 
 
 def _edge_support(und: DataFrame) -> DataFrame:
-    """und: undirected unique pairs (src < dst). Returns (src, dst, sup)."""
-    ab = und.select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
-    bc = und.select(F.col(SRC).alias("b"), F.col(DST).alias("c"))
-    ac = und.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # a < b < c
+    """und: undirected unique pairs (src < dst). Returns (src, dst, sup).
+
+    Same array-intersection plan as triangle_count (one shuffled row per
+    EDGE whose array payloads sum to O(E) ids, intersection inside one
+    codegen stage) — NOT the wedge self-join, which shuffles one row per
+    wedge and melted super-linearly on skewed graphs (measured 31.6 s ->
+    197.7 s for 4.2x edges at R-MAT scale 16 -> 18 before triangle_count
+    dropped it). Degree-orientation is recomputed on each round's
+    survivor set, so the neighbor-array bound holds as edges fall out."""
+    deg = (
+        und.select(F.col(SRC).alias("_v"))
+        .unionAll(und.select(F.col(DST).alias("_v")))
+        .groupBy("_v")
+        .agg(F.count("*").alias("_d"))
+    )
+    e = und.join(
+        deg.select(F.col("_v").alias(SRC), F.col("_d").alias("_ds")), SRC
+    ).join(deg.select(F.col("_v").alias(DST), F.col("_d").alias("_dd")), DST)
+    fwd = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col(SRC) < F.col(DST))
+    )
+    o = e.select(
+        F.when(fwd, F.col(SRC)).otherwise(F.col(DST)).alias("a"),
+        F.when(fwd, F.col(DST)).otherwise(F.col(SRC)).alias("b"),
+    )
+    adj = o.groupBy("a").agg(F.collect_list("b").alias("_n"))
+    tri = (
+        o.join(adj.select(F.col("a"), F.col("_n").alias("_na")), "a")
+        .join(adj.select(F.col("a").alias("b"), F.col("_n").alias("_nb")), "b")
+        .select("a", "b", F.explode(F.array_intersect("_na", "_nb")).alias("c"))
+    )
+    # sides come back degree-oriented; canonicalize to the id-ordered
+    # pair representation the survivor list uses
     sides = (
-        tri.select(F.col("a").alias(SRC), F.col("b").alias(DST))
-        .unionAll(tri.select(F.col("b").alias(SRC), F.col("c").alias(DST)))
-        .unionAll(tri.select(F.col("a").alias(SRC), F.col("c").alias(DST)))
+        tri.select(F.col("a").alias("_x"), F.col("b").alias("_y"))
+        .unionAll(tri.select(F.col("b").alias("_x"), F.col("c").alias("_y")))
+        .unionAll(tri.select(F.col("a").alias("_x"), F.col("c").alias("_y")))
+    ).select(
+        F.least("_x", "_y").alias(SRC), F.greatest("_x", "_y").alias(DST)
     )
     sup = sides.groupBy(SRC, DST).agg(F.count("*").alias("_sup"))
     return und.join(sup, [SRC, DST], "left").select(
@@ -48,20 +79,20 @@ def ktruss_subgraph(G: Graph, k: int, use_weights: bool = True) -> Graph:
         G.edgelist.filter(F.col(SRC) < F.col(DST)).select(SRC, DST)
     )
     und = iterloop.materialize(und)
+    n_before = und.count()
     it = 0
     # loop state is the (halved) edge list itself — small-plan applies
     # while it fits the broadcast-size regime
-    with iterloop.small_plan(
-        und.sparkSession, (G.number_of_edges(directed_edges=True) or 0) // 2
-    ):
+    with iterloop.small_plan(und.sparkSession, n_before):
         while True:
             it += 1
             sup = _edge_support(und)
             keep = iterloop.materialize(sup.filter(F.col("_sup") >= k - 2).select(SRC, DST))
-            n_before, n_after = und.count(), keep.count()
+            n_after = keep.count()  # survivor count doubles as last round's n_before
             und = keep
             if n_after == n_before or n_after == 0:
                 break
+            n_before = n_after
 
     # back to external ids via the parent graph's map, keep weights
     pairs = und

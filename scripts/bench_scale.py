@@ -105,6 +105,17 @@ for scale in scales:
         res["jaccard_pairs"] = row["p"]
         res["jaccard"] = round(time.time() - t0, 1)
 
+    if "ktruss" in ops:
+        # Iterative support-prune: triangle_count's intersection plan
+        # re-run on each round's survivor set until fixpoint. k=10 on
+        # R-MAT keeps a dense-core truss alive for several rounds.
+        from cugraph_spark import ktruss_subgraph
+
+        t0 = time.time()
+        sub = ktruss_subgraph(g, k=10)
+        res["ktruss_edges"] = sub.edges().filter(F.col("src") < F.col("dst")).count()
+        res["ktruss"] = round(time.time() - t0, 1)
+
     if "louvain3" in ops:
         from cugraph_spark.community.louvain import _one_level
         from cugraph_spark.plans import iterloop
