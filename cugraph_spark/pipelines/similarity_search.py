@@ -23,6 +23,19 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Add ``out_col`` = vec / |vec| (one array pass per ROW). Pair
+    scoring over unit vectors is a single dot — the inline
+    dot/(norm*norm) form re-walks both arrays three times per PAIR,
+    which at |Q|x|C| or VxL pair counts is ~3x the FLOPs of the whole
+    scan (measured on the 200k x 64-dim probe, scripts/bench_pipeline.py)."""
+    return (
+        df.withColumn("_nrm", _norm(F.col(vec_col)))
+        .withColumn(out_col, F.transform(F.col(vec_col), lambda x: x / F.col("_nrm")))
+        .drop("_nrm")
+    )
+
+
 def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
     a, b = F.col(a_col), F.col(b_col)
     return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
@@ -39,16 +52,24 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, vec_id, cosine), k rows per query.
     Ties broken by vec_id for determinism. Queries are broadcast — the
     corpus is scanned exactly once regardless of |Q|."""
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+    # Broadcast side: unit-normalized ONCE (projections below the
+    # broadcast exchange run at build). Stream side: scalar norm inline —
+    # whole-stage codegen fuses stream-side projections INTO the join, so
+    # a normalized array there is re-allocated per PAIR (measured 2x
+    # slower, scripts/bench_pipeline.py); dividing the dot by the norm
+    # costs one extra array walk and no allocation.
+    q = _unit(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ),
+        "_qv",
+        "_qu",
+    ).select("query_id", "_qu")
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
-            "cosine"
-        ),
+        (_dot(F.col("_qu"), F.col("_cv")) / _norm(F.col("_cv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -109,13 +130,12 @@ def lsh_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(min(multiprobe * n_planes, n_planes))],
         )
         q = q.select("query_id", "_qv", F.explode(probes).alias("bucket"))
-    scored = q.join(c, "bucket").select(
-        "query_id",
-        "vec_id",
-        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
-            "cosine"
-        ),
-    ).dropDuplicates(["query_id", "vec_id"])
+    scored = (
+        _unit(q, "_qv", "_qu")
+        .join(_unit(c, "_cv", "_cu"), "bucket")
+        .select("query_id", "vec_id", _dot(F.col("_qu"), F.col("_cu")).alias("cosine"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -126,16 +146,28 @@ def lsh_topk(
 
 def _nearest_list(df, cent):
     """Assign each (vec_id, _cv) row to its argmax-cosine centroid
-    (list_id tie-break); cent is the tiny broadcast centroid table."""
-    scored = df.crossJoin(F.broadcast(cent)).withColumn(
-        "_sim",
-        _dot(F.col("_cv"), F.col("_ctr")) / (_norm(F.col("_cv")) * _norm(F.col("_ctr"))),
+    (list_id tie-break); cent is the tiny broadcast centroid table.
+
+    argmax via ``max(struct(sim, -list_id))`` — identical tie-break to a
+    (desc sim, asc list_id) window but partial-aggregable: the map side
+    combines the V x n_lists scored rows down to V before the exchange,
+    where the window form shuffled AND sorted all V x n_lists rows."""
+    # cent (broadcast) is unit-normalized once at broadcast build; the
+    # stream side keeps the inline scalar norm — see brute_force_topk for
+    # the measured fusion pitfall a stream-side normalized array hits.
+    scored = (
+        df.crossJoin(F.broadcast(_unit(cent, "_ctr", "_cru")))
+        .withColumn("_sim", _dot(F.col("_cv"), F.col("_cru")) / _norm(F.col("_cv")))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("list_id"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_sim", "_ctr")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_sim"), (-F.col("list_id")).alias("_nl"))
+            ).alias("_b"),
+            F.first("_cv").alias("_cv"),  # functionally dependent on vec_id
+        )
+        .select("vec_id", "_cv", (-F.col("_b._nl")).alias("list_id"))
     )
 
 
@@ -145,9 +177,26 @@ def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
     ``n_lists`` corpus vectors minimizing (xxhash64(id, seed), id) and
     refine over fixed Lloyd passes — assignment = broadcast cross join
     against the tiny centroid table; update = one groupBy with
-    per-dimension avg, carrying centroids of empty lists forward."""
+    per-dimension avg, carrying centroids of empty lists forward.
+
+    Lloyd refinement trains on a deterministic hash SAMPLE capped at
+    max(256 * n_lists, 8192) vectors (the FAISS training default) — the
+    full-corpus refinement was measured 21x SLOWER than a brute-force
+    scan at 200k x 64-dim (each pass re-scores every corpus vector
+    against every centroid; 5 passes did ~16x the dot-product work of
+    the query itself, scripts/bench_pipeline.py). Below the cap the
+    sample is the whole corpus, so small inputs — including the driver
+    oracle fixtures — are bit-identical to the unsampled build."""
+    train_cap = max(256 * n_lists, 8192)
+    n = c.count()
+    train = c
+    if n > train_cap:
+        mod = -(-n // train_cap)  # ceil: keeps the sample at <= ~train_cap
+        train = c.filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(seed + 1)), F.lit(mod)) == 0
+        ).localCheckpoint(eager=True)
     cent = (
-        c.orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
+        train.orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
         .limit(n_lists)
         .select(
             (
@@ -160,7 +209,7 @@ def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
         )
     )
     for _ in range(kmeans_iters):
-        assigned = _nearest_list(c, cent)
+        assigned = _nearest_list(train, cent)
         upd = assigned.groupBy("list_id").agg(
             F.array(*[F.avg(F.col("_cv")[i]) for i in range(dim)]).alias("_new")
         )
@@ -209,13 +258,16 @@ def ivf_topk(
     cent = _kmeans_centroids(c, dim, n_lists, kmeans_iters, seed)
     assigned = _nearest_list(c, cent)  # (vec_id, _cv, list_id)
 
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q = _unit(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ),
+        "_qv",
+        "_qu",
+    ).select("query_id", "_qu")
     q_probe = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "_sim",
-            _dot(F.col("_qv"), F.col("_ctr")) / (_norm(F.col("_qv")) * _norm(F.col("_ctr"))),
-        )
+        q.crossJoin(F.broadcast(_unit(cent, "_ctr", "_cru")))
+        .withColumn("_sim", _dot(F.col("_qu"), F.col("_cru")))
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -223,14 +275,14 @@ def ivf_topk(
             ),
         )
         .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "_qv", "list_id")
+        .select("query_id", "_qu", "list_id")
     )
+    # q_probe is tiny (AQE broadcasts it), so assigned streams through the
+    # join: inline scalar norm, not a fused-per-pair normalized array.
     scored = q_probe.join(assigned, "list_id").select(
         "query_id",
         "vec_id",
-        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
-            "cosine"
-        ),
+        (_dot(F.col("_qu"), F.col("_cv")) / _norm(F.col("_cv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -267,17 +319,15 @@ def semantic_duplicates(
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
     cent = _kmeans_centroids(c, dim, n_lists, kmeans_iters, seed)
     assigned = _nearest_list(c, cent)
-    a = assigned.select("list_id", "vec_id", "_cv")
-    b = assigned.select(
-        "list_id", F.col("vec_id").alias("_v2"), F.col("_cv").alias("_c2")
+    assigned_u = _unit(assigned, "_cv", "_cu")
+    a = assigned_u.select("list_id", "vec_id", "_cu")
+    b = assigned_u.select(
+        "list_id", F.col("vec_id").alias("_v2"), F.col("_cu").alias("_c2u")
     )
     dup = (
         a.join(b, "list_id")
         .filter(F.col("_v2") < F.col("vec_id"))
-        .withColumn(
-            "_cos",
-            _dot(F.col("_cv"), F.col("_c2")) / (_norm(F.col("_cv")) * _norm(F.col("_c2"))),
-        )
+        .withColumn("_cos", _dot(F.col("_cu"), F.col("_c2u")))
         # rounded comparison so the threshold test is boundary-stable
         # across engines (the exact oracle rounds identically)
         .filter(F.round(F.col("_cos"), 6) >= threshold)
@@ -311,16 +361,15 @@ def embedding_near_duplicates(
     c = lsh_bucket_signatures(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v", planes
     )
-    a = c.select(F.col("_id").alias("first"), F.col("_v").alias("_va"), "bucket")
-    b = c.select(F.col("_id").alias("second"), F.col("_v").alias("_vb"), "bucket")
+    cu = _unit(c, "_v", "_vu")
+    a = cu.select(F.col("_id").alias("first"), F.col("_vu").alias("_va"), "bucket")
+    b = cu.select(F.col("_id").alias("second"), F.col("_vu").alias("_vb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("first") < F.col("second"))
     return (
         pairs.select(
             "first",
             "second",
-            (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias(
-                "cosine"
-            ),
+            _dot(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()
