@@ -13,7 +13,8 @@ this container):
   stats): uncompressed 24-bit BMP, binary PPM/PGM, 8-bit non-interlaced
   PNG (stdlib zlib inflate + scanline unfiltering), and baseline
   sequential JPEG (ITU-T T.81 SOF0: Huffman entropy decode + numpy
-  dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers);
+  dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers),
+  and GIF (variable-width LZW + palette + deinterlace, first frame);
 - REAL audio decode via the stdlib ``wave`` module: PCM WAV channel
   count / sample rate / duration plus RMS + zero-crossing features;
 - REAL video container metadata: MP4/MOV ISO-BMFF box walk (mvhd
@@ -528,6 +529,126 @@ def _jpeg_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
         return None
 
 
+def _gif_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
+    """REAL stdlib GIF raster decode (GIF87a/89a): variable-width LZW
+    over the first image frame, palette lookup (local table wins over
+    global), 4-pass deinterlace. Later frames of an animation, and
+    frames smaller than the logical screen, are out of scope (first
+    frame rendered at its own size). Returns (width, height, rgb_bytes,
+    3), the same shape ``decode_raster`` yields."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        flags = raw[10]
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = raw[i : i + 3 * n]
+            i += 3 * n
+        while i < len(raw):
+            b = raw[i]
+            if b == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(raw) and raw[i]:
+                    i += 1 + raw[i]
+                i += 1
+            elif b == 0x2C:  # image descriptor
+                w, h = struct.unpack("<HH", raw[i + 5 : i + 9])
+                iflags = raw[i + 9]
+                i += 10
+                pal = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    pal = raw[i : i + 3 * n]
+                    i += 3 * n
+                if pal is None or not w or not h:
+                    return None
+                min_code = raw[i]
+                i += 1
+                data = bytearray()
+                while i < len(raw) and raw[i]:
+                    sz = raw[i]
+                    data += raw[i + 1 : i + 1 + sz]
+                    i += 1 + sz
+                idx = _lzw_decode(bytes(data), min_code, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                if iflags & 0x40:  # deinterlace: 4 passes over rows
+                    order = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                    rows = [None] * h
+                    for src_r, dst_r in enumerate(order):
+                        rows[dst_r] = idx[src_r * w : (src_r + 1) * w]
+                    idx = b"".join(rows)
+                np_max = len(pal) // 3
+                out = bytearray(w * h * 3)
+                for p in range(w * h):
+                    c = idx[p]
+                    if c >= np_max:
+                        return None
+                    out[3 * p : 3 * p + 3] = pal[3 * c : 3 * c + 3]
+                return int(w), int(h), bytes(out), 3
+            elif b == 0x3B:  # trailer
+                return None
+            else:
+                return None
+    except Exception:
+        return None
+    return None
+
+
+def _lzw_decode(data: bytes, min_code: int, limit: int) -> Optional[bytes]:
+    """GIF variable-width LZW: clear/EOI codes, dictionary to 4096
+    entries, code width grows at dictionary size boundaries."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {c: bytes([c]) for c in range(clear)}
+
+    table = fresh()
+    width = min_code + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table, width, next_code, prev = fresh(), min_code + 1, eoi + 1, None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                return None
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+            if len(out) >= limit:
+                return bytes(out)
+    return bytes(out)
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
     """STUB fallback for undecodable payloads: deterministic fake
     (width, height, format) from a stable digest of the bytes. A codec
@@ -567,6 +688,8 @@ def decode_images(
                     ras = _png_decode(raw)
                 if ras is None:
                     ras = _jpeg_decode(raw)
+                if ras is None:
+                    ras = _gif_decode(raw)
                 if hdr is not None:
                     w, h, fmt = hdr
                 elif ras is not None:

@@ -698,6 +698,104 @@ def test_jpeg_stdlib_raster_decode(spark):
     assert (out[2]["width"], out[2]["height"]) == (16, 16)
 
 
+def _encode_gif(w, h, idx, palette, interlace=False):
+    """Minimal GIF89a writer for decoder tests: constant-width LZW codes
+    with a CLEAR emitted before the dictionary would force a width
+    change (the classic 'uncompressed GIF' trick — spec-conformant
+    output every decoder must accept). ``idx`` is row-major palette
+    indices; ``palette`` packed RGB."""
+    import struct as st
+
+    n_colors = len(palette) // 3
+    min_code = max(2, (n_colors - 1).bit_length())
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+
+    rows = list(range(h))
+    if interlace:
+        rows = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+    codes = [clear]
+    since_clear = 0
+    for r in rows:
+        for x in range(w):
+            codes.append(idx[r * w + x])
+            since_clear += 1
+            if since_clear == (1 << min_code) - 2:
+                codes.append(clear)
+                since_clear = 0
+    codes.append(eoi)
+
+    acc = bits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        packed.append(acc & 0xFF)
+
+    gct_bits = max((n_colors - 1).bit_length(), 1)
+    pal = palette + bytes(3 * ((2 << (gct_bits - 1)) * 2 // 2 - n_colors))
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HH", w, h) + bytes([0x80 | (gct_bits - 1), 0, 0]) + pal
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext (no-op)
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00, min_code])
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_stdlib_raster_decode(spark):
+    """GIFs decode for REAL in this container (no Pillow): LZW stream,
+    palette lookup and deinterlace all verified against known pixels,
+    end-to-end through the mapInPandas stage."""
+    import numpy as np
+
+    from cugraph_spark.pipelines.multimodal import (
+        _gif_decode,
+        _pixel_feature,
+        decode_images,
+    )
+
+    palette = bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )  # R G B W
+    w, h = 6, 5
+    idx = bytes((r + x) % 4 for r in range(h) for x in range(w))
+    expected = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+
+    got = _gif_decode(_encode_gif(w, h, idx, palette))
+    assert got == (w, h, expected, 3)
+
+    # interlaced rows must come back in natural order
+    got_i = _gif_decode(_encode_gif(w, h, idx, palette, interlace=True))
+    assert got_i == (w, h, expected, 3)
+
+    # a bigger image exercises dictionary growth across CLEAR boundaries
+    w2, h2 = 31, 17
+    idx2 = bytes((r * x * 7 + x) % 4 for r in range(h2) for x in range(w2))
+    exp2 = b"".join(palette[3 * i : 3 * i + 3] for i in idx2)
+    assert _gif_decode(_encode_gif(w2, h2, idx2, palette)) == (w2, h2, exp2, 3)
+
+    # end-to-end: REAL pixel features through decode_images
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_gif(w, h, idx, palette)))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (w, h, "gif")
+    assert out[1]["feature"] == pytest.approx(_pixel_feature(expected, 3), abs=1e-6)
+
+
 def _box(typ, payload):
     import struct as st
 
