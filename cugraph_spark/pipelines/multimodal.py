@@ -10,8 +10,10 @@ this container):
 - REAL header decode (actual bytes parsing, exact dimensions): PNG,
   JPEG (SOF marker walk), GIF, BMP, binary PPM/PGM;
 - REAL raster decode + pixel features (channel means / brightness
-  stats): uncompressed 24-bit BMP, binary PPM/PGM, 8-bit non-interlaced
-  PNG (stdlib zlib inflate + scanline unfiltering), and baseline
+  stats): uncompressed 24-bit BMP, binary PPM/PGM, PNG — 8-bit
+  gray/RGB/alpha and palette at bit depth 1/2/4/8, sequential and
+  Adam7-interlaced (stdlib zlib inflate + scanline unfiltering +
+  7-pass de-interleave), and baseline
   sequential JPEG (ITU-T T.81 SOF0: Huffman entropy decode + numpy
   dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers),
   and GIF (variable-width LZW + palette + deinterlace, first frame);
@@ -22,7 +24,7 @@ this container):
   ``sample_video_frames`` with real durations;
 - STUB (deterministic digest-driven fake, clearly marked): pixel data
   of the remaining compressed codecs (WEBP, progressive JPEG,
-  palette/16-bit PNG, video frames). A codec
+  16-bit PNG, video frames). A codec
   deployment swaps ``_feature_stub`` for a real decoder and nothing
   else changes — schemas, batch iteration and partitioning are real.
 """
@@ -224,20 +226,90 @@ def _pil_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
         return None
 
 
+# Adam7 interlace pass geometry (PNG spec §8.2): (x_start, y_start,
+# x_step, y_step) for each of the 7 passes, in stream order.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(plain: bytes, off: int, wpx: int, hpx: int, nch: int, bit: int):
+    """Unfilter one (sub-)image of ``hpx`` scanlines starting at byte
+    ``off`` of the inflated stream; returns (list-of-raw-scanlines, new
+    offset) or None on a bad filter byte / truncation. Each Adam7 pass is
+    its own filtered image (prior row resets to zero), which is why this
+    is factored per-pass."""
+    if wpx == 0 or hpx == 0:
+        return [], off
+    bits_pp = nch * bit
+    stride = (wpx * bits_pp + 7) // 8
+    bpp = max(1, (bits_pp + 7) // 8)  # filter distance, per spec min 1 byte
+    if off + (stride + 1) * hpx > len(plain):
+        return None
+    rows = []
+    prev = bytes(stride)
+    for _r in range(hpx):
+        f = plain[off]
+        if f > 4:
+            return None
+        cur = bytearray(stride)
+        for x in range(stride):
+            v = plain[off + 1 + x]
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            if f == 0:
+                rec = v
+            elif f == 1:
+                rec = v + a
+            elif f == 2:
+                rec = v + b
+            elif f == 3:
+                rec = v + ((a + b) >> 1)
+            else:  # 4: Paeth
+                c = prev[x - bpp] if x >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                rec = v + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else c))
+            cur[x] = rec & 0xFF
+        off += stride + 1
+        prev = bytes(cur)
+        rows.append(prev)
+    return rows, off
+
+
+def _png_unpack(row: bytes, n_samples: int, bit: int) -> bytes:
+    """Expand a packed sub-byte scanline (bit depth 1/2/4, MSB-first per
+    spec) to one byte per sample; identity at bit depth 8."""
+    if bit == 8:
+        return row[:n_samples]
+    mask = (1 << bit) - 1
+    out = bytearray(n_samples)
+    for i in range(n_samples):
+        b = row[(i * bit) >> 3]
+        shift = 8 - bit - ((i * bit) & 7)
+        out[i] = (b >> shift) & mask
+    return bytes(out)
+
+
 def _png_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
     """REAL stdlib PNG raster decode — zlib inflate + per-scanline
-    unfiltering (filters 0-4 per the public PNG spec) for 8-bit
-    non-interlaced gray / gray+alpha / RGB / RGBA. Makes the most common
-    compressed raster format real with zero new dependencies; palette,
-    16-bit and interlaced PNGs return None (PIL gate or digest stub).
-    Returns (width, height, raster_bytes, n_channels), the same shape
-    ``decode_raster`` yields, so the feature path is identical."""
+    unfiltering (filters 0-4 per the public PNG spec) for 8-bit gray /
+    gray+alpha / RGB / RGBA and palette (color type 3, bit depth
+    1/2/4/8, PLTE lookup), both sequential and Adam7-interlaced (7-pass
+    de-interleave, each pass unfiltered as its own sub-image). 16-bit
+    channels return None (PIL gate or digest stub). Returns (width,
+    height, raster_bytes, n_channels), the same shape ``decode_raster``
+    yields, so the feature path is identical."""
     import zlib
+
+    import numpy as np
 
     if len(raw) < 33 or raw[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     i = 8
     w = h = bit = ct = interlace = None
+    plte = None
     idat = bytearray()
     try:
         while i + 8 <= len(raw):
@@ -248,49 +320,63 @@ def _png_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
                 w, h, bit, ct, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
+            elif ctype == b"PLTE":
+                plte = data
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
                 break
             i += 12 + length
-        if w is None or bit != 8 or interlace != 0:
+        if w is None or interlace not in (0, 1):
             return None
-        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
-        if nch is None:
-            return None
+        if ct == 3:
+            if bit not in (1, 2, 4, 8) or plte is None or len(plte) % 3:
+                return None
+            nch = 1
+        else:
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
+            if nch is None or bit != 8:
+                return None
         plain = zlib.decompress(bytes(idat))
     except Exception:
         return None
-    stride = w * nch
-    if len(plain) != (stride + 1) * h:
-        return None
-    out = bytearray(stride * h)
-    for r in range(h):
-        base = r * (stride + 1)
-        f = plain[base]
-        if f > 4:
+
+    samples = bytearray(w * h * nch)  # one byte per sample, de-interlaced
+    if interlace == 0:
+        got = _png_unfilter(plain, 0, w, h, nch, bit)
+        if got is None:
             return None
-        o = r * stride
-        po = o - stride
-        for x in range(stride):
-            v = plain[base + 1 + x]
-            a = out[o + x - nch] if x >= nch else 0
-            b = out[po + x] if r > 0 else 0
-            if f == 0:
-                rec = v
-            elif f == 1:
-                rec = v + a
-            elif f == 2:
-                rec = v + b
-            elif f == 3:
-                rec = v + ((a + b) >> 1)
-            else:  # 4: Paeth
-                c = out[po + x - nch] if (r > 0 and x >= nch) else 0
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                rec = v + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else c))
-            out[o + x] = rec & 0xFF
-    return w, h, bytes(out), nch
+        rows, off = got
+        if off != len(plain):
+            return None
+        sw = w * nch
+        for r, row in enumerate(rows):
+            samples[r * sw : (r + 1) * sw] = _png_unpack(row, sw, bit)
+    else:  # Adam7
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+            ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+            got = _png_unfilter(plain, off, pw, ph, nch, bit)
+            if got is None:
+                return None
+            rows, off = got
+            for ri, row in enumerate(rows):
+                srow = _png_unpack(row, pw * nch, bit)
+                y = ys + ri * ystep
+                for ci in range(pw):
+                    o = (y * w + xs + ci * xstep) * nch
+                    samples[o : o + nch] = srow[ci * nch : (ci + 1) * nch]
+        if off != len(plain):
+            return None
+
+    if ct == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(bytes(samples), dtype=np.uint8)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            return None
+        return w, h, pal[idx].tobytes(), 3
+    return w, h, bytes(samples), nch
 
 
 _ZIGZAG = [
@@ -690,10 +776,14 @@ def decode_images(
                     ras = _jpeg_decode(raw)
                 if ras is None:
                     ras = _gif_decode(raw)
-                if hdr is not None:
+                if ras is not None:
+                    # Raster dims win over header dims: a GIF first frame
+                    # can be smaller than the logical screen, and the
+                    # pixel features were computed from the raster.
+                    w, h = ras[0], ras[1]
+                    fmt = hdr[2] if hdr is not None else "pil"
+                elif hdr is not None:
                     w, h, fmt = hdr
-                elif ras is not None:
-                    w, h, fmt = ras[0], ras[1], "pil"
                 else:
                     w, h, fmt = _decode_image_stub(raw)
                     fmt = fmt + "-stub"

@@ -63,8 +63,8 @@ docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
 rep = docs.crossJoin(spark.range(doc_rep).select(F.col("id").alias("_r"))).select(
     (F.col("doc_id") + F.col("_r") * F.lit(1_000_000_000)).alias("doc_id"),
     F.when(
-        (F.col("_r") > 0) & (F.col("doc_id") % 20 == 0), F.col("text")
-    )  # planted verbatim near-dups of replica 0
+        F.col("doc_id") % 20 == 0, F.col("text")
+    )  # planted verbatim dup clusters of size exactly doc_rep (replica 0 included)
     .otherwise(
         F.regexp_replace(
             F.col("text"),

@@ -440,7 +440,7 @@ def test_png_stdlib_raster_decode(spark):
     gray = bytes((r * 29 + x * 3) % 256 for r in range(3) for x in range(4))
     assert _png_decode(_encode_png(4, 3, gray, 0, [1])) == (4, 3, gray, 1)
 
-    # palette (color type 3) is out of scope -> None
+    # palette stream missing its PLTE chunk is invalid -> None
     pal = _encode_png(2, 2, bytes(4), 0, [0])
     pal = pal.replace(b"\x08\x00\x00\x00\x00", b"\x08\x03\x00\x00\x00", 1)
     assert _png_decode(pal) is None
@@ -455,6 +455,168 @@ def test_png_stdlib_raster_decode(spark):
     # feature rides as array<float>: float32 round-trip tolerance
     assert out[1]["feature"] == pytest.approx(_pixel_feature(rgb, 3), abs=1e-6)
     assert out[2]["feature"] == pytest.approx(_feature_stub(bytes(pal)), abs=1e-6)
+
+
+_ADAM7_ENC = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _encode_png_ext(w, h, samples, color_type, bit=8, interlace=0, plte=None,
+                    filters=(0,)):
+    """Extended minimal PNG writer (independent of the decoder): palette
+    (PLTE) color, sub-byte sample packing (bit depth 1/2/4, MSB-first),
+    and Adam7 interlacing — each pass filtered as its own sub-image with
+    the given per-row filter cycle. ``samples`` is one byte per sample
+    (palette index for color type 3), row-major at full image size."""
+    import struct as st
+    import zlib
+    from binascii import crc32
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, (nch * bit + 7) // 8)
+
+    def pack_row(srow):
+        if bit == 8:
+            return bytes(srow)
+        out = bytearray((len(srow) * bit + 7) // 8)
+        for i, s in enumerate(srow):
+            out[(i * bit) >> 3] |= (s & ((1 << bit) - 1)) << (8 - bit - ((i * bit) & 7))
+        return bytes(out)
+
+    def filt(rows_packed):
+        raw = bytearray()
+        prev = bytes(len(rows_packed[0])) if rows_packed else b""
+        for ri, row in enumerate(rows_packed):
+            f = filters[ri % len(filters)]
+            raw.append(f)
+            for x in range(len(row)):
+                v, a, b = row[x], row[x - bpp] if x >= bpp else 0, prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((v - pred) & 0xFF)
+            prev = row
+        return raw
+
+    raw = bytearray()
+    if interlace == 0:
+        raw += filt([pack_row(samples[r * w * nch : (r + 1) * w * nch]) for r in range(h)])
+    else:
+        for xs, ys, xstep, ystep in _ADAM7_ENC:
+            pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+            ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+            if pw == 0 or ph == 0:
+                continue
+            rows = []
+            for ri in range(ph):
+                y = ys + ri * ystep
+                srow = []
+                for ci in range(pw):
+                    o = (y * w + xs + ci * xstep) * nch
+                    srow.extend(samples[o : o + nch])
+                rows.append(pack_row(srow))
+            raw += filt(rows)
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = st.pack(">IIBBBBB", w, h, bit, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode(spark):
+    """Palette PNGs (color type 3) decode for REAL at every legal bit
+    depth: indices map through PLTE to RGB, sub-byte rows unpack
+    MSB-first, filters apply in the packed-byte domain (bpp=1)."""
+    from cugraph_spark.pipelines.multimodal import (
+        _pixel_feature,
+        _png_decode,
+        decode_images,
+    )
+
+    plte = bytes((i * 17 + c * 41) % 256 for i in range(16) for c in range(3))
+
+    def expect_rgb(samples):
+        return bytes(plte[s * 3 + c] for s in samples for c in range(3))
+
+    # 8-bit palette through every filter type
+    w, h = 5, 5
+    idx8 = bytes((r * 3 + x) % 16 for r in range(h) for x in range(w))
+    png = _encode_png_ext(w, h, idx8, 3, bit=8, plte=plte, filters=(0, 1, 2, 3, 4))
+    assert _png_decode(png) == (w, h, expect_rgb(idx8), 3)
+
+    # 4-bit (odd width -> padded final byte), 2-bit, 1-bit
+    idx4 = bytes((r + x) % 16 for r in range(3) for x in range(5))
+    assert _png_decode(_encode_png_ext(5, 3, idx4, 3, bit=4, plte=plte)) == (
+        5, 3, expect_rgb(idx4), 3)
+    idx2 = bytes((r * x) % 4 for r in range(4) for x in range(7))
+    assert _png_decode(_encode_png_ext(7, 4, idx2, 3, bit=2, plte=plte)) == (
+        7, 4, expect_rgb(idx2), 3)
+    idx1 = bytes((r ^ x) & 1 for r in range(3) for x in range(11))
+    assert _png_decode(_encode_png_ext(11, 3, idx1, 3, bit=1, plte=plte)) == (
+        11, 3, expect_rgb(idx1), 3)
+
+    # out-of-range palette index is invalid -> None
+    bad = _encode_png_ext(2, 1, bytes([0, 15]), 3, bit=8, plte=plte[:6])
+    assert _png_decode(bad) is None
+
+    # end-to-end: real pixel feature, not the digest stub
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (w, h, "png")
+    assert out[1]["feature"] == pytest.approx(
+        _pixel_feature(expect_rgb(idx8), 3), abs=1e-6)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 PNGs decode for REAL: 7-pass de-interleave must reproduce
+    the sequential raster exactly, for RGB and sub-byte palette, on
+    dimensions that exercise empty and single-pixel passes; per-pass
+    filter state must reset (Up filter on a pass's first row sees zeros,
+    not the previous pass's last row)."""
+    from cugraph_spark.pipelines.multimodal import _png_decode
+
+    # 9x10 RGB: every pass non-trivial; filters cycle 0,2,1 within passes
+    w, h = 9, 10
+    rgb = bytes((r * 37 + x * 11) % 256 for r in range(h) for x in range(w * 3))
+    png = _encode_png_ext(w, h, rgb, 2, bit=8, interlace=1, filters=(0, 2, 1))
+    assert _png_decode(png) == (w, h, rgb, 3)
+
+    # tiny images: most passes empty (1x1 has only pass 1; 3x3 skips several)
+    for tw, th in [(1, 1), (2, 2), (3, 3), (8, 1), (1, 9)]:
+        tiny = bytes((r * 7 + x) % 256 for r in range(th) for x in range(tw * 3))
+        assert _png_decode(
+            _encode_png_ext(tw, th, tiny, 2, bit=8, interlace=1)
+        ) == (tw, th, tiny, 3)
+
+    # interlaced 4-bit palette: packing + de-interleave compose
+    plte = bytes((i * 29) % 256 for i in range(16) for _ in range(3))
+    idx = bytes((r * 5 + x) % 16 for r in range(6) for x in range(7))
+    got = _png_decode(_encode_png_ext(7, 6, idx, 3, bit=4, interlace=1, plte=plte))
+    want = bytes(plte[s * 3 + c] for s in idx for c in range(3))
+    assert got == (7, 6, want, 3)
+
+    # grayscale+alpha interlaced (bpp=2 filter distance inside a pass)
+    ga = bytes((r * 13 + x * 3) % 256 for r in range(5) for x in range(4 * 2))
+    assert _png_decode(
+        _encode_png_ext(4, 5, ga, 4, bit=8, interlace=1, filters=(4,))
+    ) == (4, 5, ga, 2)
 
 
 def _encode_jpeg(w, h, rgb, subsample=(1, 1), restart=0, q_luma=16, q_chroma=16):
