@@ -42,9 +42,13 @@ def main() -> None:
         med = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
         medians[name] = round(med, 3)
 
-    def timed_best(name, fn, reps=3):
-        # Algorithms are steady-state after the warmup (graph cached,
-        # codegen compiled), so repeated runs are iid samples.
+    def timed_best(name, fn, reps=5):
+        # One throwaway run at FULL scale first (r4 verdict: the tiny-graph
+        # warmup covers classloading but not this exact plan's codegen,
+        # AQE re-plans, or first-touch shuffle paths), then n=5 timed
+        # samples — min strips contention noise, median is the honest
+        # central figure.
+        fn()
         samples = []
         for _ in range(reps):
             t0 = time.time()
@@ -76,20 +80,22 @@ def main() -> None:
     weakly_connected_components(gw).count()
     sssp(gw, gw.nodes().first()[0]).count()
 
-    def timed_best_build(name, builder, reps=2):
+    def timed_best_build(name, builder, reps=5):
         # Builds are timed min-of-reps like the algorithms (the driver's
         # box shows >30% run-to-run spread); the prior run's cached
-        # tables are dropped first so every rep re-shuffles — reps after
-        # the first still measure steady-state (parquet in page cache,
-        # codegen warm), which is the per-session cost a user pays.
+        # tables are dropped first so every rep re-shuffles. The first
+        # (throwaway) build absorbs the cold costs — parquet footer
+        # reads, page-cache fill, this plan's codegen — so the timed
+        # reps all measure the steady-state per-session cost.
         samples, out = [], None
-        for _ in range(reps):
+        for i in range(reps + 1):
             if out is not None:
                 out._edges.unpersist(blocking=True)
                 out._vertices.unpersist(blocking=True)
             t0 = time.time()
             out = builder()
-            samples.append(time.time() - t0)
+            if i > 0:
+                samples.append(time.time() - t0)
         _record(name, samples)
         return out
 
@@ -166,6 +172,7 @@ def main() -> None:
                 "queries_median": medians,
                 "median_total": round(sum(medians.values()), 3),
                 "sf": float(sf),
+                "reps": 5,
                 "edges_built": n_edges,
             }
         )

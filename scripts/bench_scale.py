@@ -12,7 +12,9 @@ Set SPARK_GRAFT_DRIVER_MEM=48g for scale >= 22 (134M symmetrized rows).
 SPARK_GRAFT_SCALE_OPS selects ops (comma list, default
 "pagerank,bfs,wcc,sssp"; also available: "jaccard" (the reference's own two-hop-pairs-of-10-random-vertices jaccard bench shape), "triangles" — the reference's
 own pytest-bench counts triangles at scale-20
-(benchmarks/cugraph/pytest-based/bench_algos.py) — and "louvain3", three
+(benchmarks/cugraph/pytest-based/bench_algos.py), "betweenness" (k=10
+sampled sources, the reference pytest-bench's own scale-20 shape),
+"ktruss", and "louvain3", three
 synchronous local-move passes of the level-0 louvain loop, the
 shuffle-heaviest non-traversal pattern: per-pass edge-sized
 groupBy(vertex, community)).
@@ -115,6 +117,22 @@ for scale in scales:
         sub = ktruss_subgraph(g, k=10)
         res["ktruss_edges"] = sub.edges().filter(F.col("src") < F.col("dst")).count()
         res["ktruss"] = round(time.time() - t0, 1)
+
+    if "betweenness" in ops:
+        # The reference's own pytest-bench runs betweenness_centrality
+        # with k=10 sampled sources at R-MAT scale-20
+        # (benchmarks/cugraph/pytest-based/bench_algos.py) — the
+        # per-source Brandes forward/backward sweeps are the
+        # shuffle-heaviest traversal pattern we ship.
+        from cugraph_spark import betweenness_centrality
+
+        t0 = time.time()
+        row = betweenness_centrality(g, k=10, seed=42).agg(
+            F.sum("betweenness_centrality").alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        res["betweenness_sum"] = round(float(row["s"]), 3)
+        res["betweenness_k10"] = round(time.time() - t0, 1)
 
     if "louvain3" in ops:
         from cugraph_spark.community.louvain import _one_level
