@@ -10,10 +10,10 @@ this container):
 - REAL header decode (actual bytes parsing, exact dimensions): PNG,
   JPEG (SOF marker walk), GIF, BMP, binary PPM/PGM;
 - REAL raster decode + pixel features (channel means / brightness
-  stats): uncompressed 24-bit BMP, binary PPM/PGM, PNG — 8-bit
-  gray/RGB/alpha and palette at bit depth 1/2/4/8, sequential and
-  Adam7-interlaced (stdlib zlib inflate + scanline unfiltering +
-  7-pass de-interleave), and baseline
+  stats): uncompressed 24-bit BMP, binary PPM/PGM, PNG — every legal
+  IHDR combination: gray 1/2/4/8/16-bit, gray+alpha/RGB/RGBA 8/16-bit,
+  palette 1/2/4/8-bit, sequential and Adam7-interlaced (stdlib zlib
+  inflate + scanline unfiltering + 7-pass de-interleave), and baseline
   sequential JPEG (ITU-T T.81 SOF0: Huffman entropy decode + numpy
   dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers),
   and GIF (variable-width LZW + palette + deinterlace, first frame);
@@ -24,7 +24,7 @@ this container):
   ``sample_video_frames`` with real durations;
 - STUB (deterministic digest-driven fake, clearly marked): pixel data
   of the remaining compressed codecs (WEBP, progressive JPEG,
-  16-bit PNG, video frames). A codec
+  video frames). A codec
   deployment swaps ``_feature_stub`` for a real decoder and nothing
   else changes — schemas, batch iteration and partitioning are real.
 """
@@ -280,9 +280,13 @@ def _png_unfilter(plain: bytes, off: int, wpx: int, hpx: int, nch: int, bit: int
 
 def _png_unpack(row: bytes, n_samples: int, bit: int) -> bytes:
     """Expand a packed sub-byte scanline (bit depth 1/2/4, MSB-first per
-    spec) to one byte per sample; identity at bit depth 8."""
+    spec) to one byte per sample; identity at bit depth 8; at 16 the
+    high byte of each big-endian sample pair (the standard 16→8
+    reduction, exact for the v*257 expansion encoders use)."""
     if bit == 8:
         return row[:n_samples]
+    if bit == 16:
+        return row[: 2 * n_samples : 2]
     mask = (1 << bit) - 1
     out = bytearray(n_samples)
     for i in range(n_samples):
@@ -294,13 +298,14 @@ def _png_unpack(row: bytes, n_samples: int, bit: int) -> bytes:
 
 def _png_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
     """REAL stdlib PNG raster decode — zlib inflate + per-scanline
-    unfiltering (filters 0-4 per the public PNG spec) for 8-bit gray /
-    gray+alpha / RGB / RGBA and palette (color type 3, bit depth
-    1/2/4/8, PLTE lookup), both sequential and Adam7-interlaced (7-pass
-    de-interleave, each pass unfiltered as its own sub-image). 16-bit
-    channels return None (PIL gate or digest stub). Returns (width,
-    height, raster_bytes, n_channels), the same shape ``decode_raster``
-    yields, so the feature path is identical."""
+    unfiltering (filters 0-4 per the public PNG spec) for every legal
+    IHDR combination: gray at bit depth 1/2/4/8/16 (sub-byte expanded
+    to full range, 16-bit reduced to the high byte), gray+alpha / RGB /
+    RGBA at 8/16, and palette (color type 3, bit depth 1/2/4/8, PLTE
+    lookup) — both sequential and Adam7-interlaced (7-pass
+    de-interleave, each pass unfiltered as its own sub-image). Returns
+    (width, height, raster_bytes, n_channels), the same shape
+    ``decode_raster`` yields, so the feature path is identical."""
     import zlib
 
     import numpy as np
@@ -333,9 +338,13 @@ def _png_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
             if bit not in (1, 2, 4, 8) or plte is None or len(plte) % 3:
                 return None
             nch = 1
+        elif ct == 0:
+            if bit not in (1, 2, 4, 8, 16):
+                return None
+            nch = 1
         else:
-            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
-            if nch is None or bit != 8:
+            nch = {2: 3, 4: 2, 6: 4}.get(ct)
+            if nch is None or bit not in (8, 16):
                 return None
         plain = zlib.decompress(bytes(idat))
     except Exception:
@@ -376,6 +385,11 @@ def _png_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
         if int(idx.max(initial=0)) >= pal.shape[0]:
             return None
         return w, h, pal[idx].tobytes(), 3
+    if ct == 0 and bit < 8:
+        # expand sub-byte gray to full range: v * 255 / (2^bit - 1)
+        mask = (1 << bit) - 1
+        table = bytes((v * 255) // mask if v <= mask else 0 for v in range(256))
+        return w, h, bytes(samples).translate(table), 1
     return w, h, bytes(samples), nch
 
 
@@ -943,14 +957,53 @@ def parse_video_header(b: bytes) -> Optional[tuple[int, int, float, str]]:
     return None
 
 
+def _riff_chunks(b: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Iterate RIFF chunks as (fourcc, data_start, data_end); chunks pad
+    to even byte boundaries per the RIFF spec."""
+    i = start
+    while i + 8 <= end:
+        cid = b[i : i + 4]
+        (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
+        yield cid, i + 8, min(i + 8 + sz, end)
+        i += 8 + sz + (sz & 1)
+
+
+def _avi_mjpeg_frames(raw: bytes, max_frames: int = 1) -> list[tuple[int, int, bytes, int]]:
+    """REAL stdlib video-frame decode for the one codec our JPEG decoder
+    already covers: Motion-JPEG in AVI. Walks the RIFF tree to the
+    ``movi`` LIST, takes video stream chunks (``##dc``/``##db``) whose
+    payload is a JPEG stream (SOI marker), and runs them through
+    ``_jpeg_decode``. Returns up to ``max_frames`` decoded rasters
+    (w, h, bytes, nch); empty list when the container holds no
+    baseline-decodable JPEG frames (e.g. DHT-less MJPEG variants —
+    those fall back to the digest stub)."""
+    out: list[tuple[int, int, bytes, int]] = []
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        return out
+    for cid, s, e in _riff_chunks(raw, 12, len(raw)):
+        if cid != b"LIST" or raw[s : s + 4] != b"movi":
+            continue
+        for fcc, fs, fe in _riff_chunks(raw, s + 4, e):
+            if fcc[2:4] not in (b"dc", b"db") or raw[fs : fs + 2] != b"\xff\xd8":
+                continue
+            ras = _jpeg_decode(raw[fs:fe])
+            if ras is not None:
+                out.append(ras)
+                if len(out) >= max_frames:
+                    return out
+    return out
+
+
 def decode_videos(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload", feature_dim: int = 8
 ) -> DataFrame:
     """binary payloads -> video metadata + features via mapInPandas.
     Container metadata (dims, duration) is REAL for MP4/MOV/AVI from the
-    actual box/chunk structures; frame pixel features are digest-stubbed
-    (no video codec in stdlib) with the format kept real so downstream
-    filters can split decodable work from stub work. The output feeds
+    actual box/chunk structures; frame pixel features are REAL for
+    Motion-JPEG AVI (first frame through the stdlib+numpy baseline-JPEG
+    decoder) and digest-stubbed for the remaining codecs (no H.264/VP9
+    in stdlib) with the format kept real so downstream filters can split
+    decodable work from stub work. The output feeds
     ``sample_video_frames`` directly (duration_s column)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -959,8 +1012,13 @@ def decode_videos(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
                 meta = parse_video_header(raw)
+                frame = None
                 if meta is not None:
                     w, h, dur, fmt = meta
+                    if fmt == "avi":
+                        frames = _avi_mjpeg_frames(raw, max_frames=1)
+                        if frames:
+                            frame = frames[0]
                 else:
                     d = hashlib.md5(raw or b"").digest()
                     w, h = 160 + d[0] % 1024, 120 + d[1] % 1024
@@ -974,7 +1032,11 @@ def decode_videos(
                         "duration_s": float(dur),
                         "format": fmt,
                         "n_bytes": len(raw),
-                        "feature": _feature_stub(raw, feature_dim),
+                        "feature": (
+                            _pixel_feature(frame[2], frame[3], feature_dim)
+                            if frame is not None
+                            else _feature_stub(raw, feature_dim)
+                        ),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields])
