@@ -13,18 +13,21 @@ this container):
   stats): uncompressed 24-bit BMP, binary PPM/PGM, PNG — every legal
   IHDR combination: gray 1/2/4/8/16-bit, gray+alpha/RGB/RGBA 8/16-bit,
   palette 1/2/4/8-bit, sequential and Adam7-interlaced (stdlib zlib
-  inflate + scanline unfiltering + 7-pass de-interleave), and baseline
-  sequential JPEG (ITU-T T.81 SOF0: Huffman entropy decode + numpy
-  dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers),
-  and GIF (variable-width LZW + palette + deinterlace, first frame);
+  inflate + scanline unfiltering + 7-pass de-interleave), and JPEG —
+  baseline sequential (ITU-T T.81 SOF0: Huffman entropy decode + numpy
+  dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers)
+  AND progressive (SOF2: spectral-selection band scans with EOBn runs
+  + successive-approximation DC/AC refinement bit scans, G.1.2.3) —
+  and GIF (variable-width LZW + palette + deinterlace, first frame),
+  plus Motion-JPEG AVI first frames via the RIFF ``movi`` walk;
 - REAL audio decode via the stdlib ``wave`` module: PCM WAV channel
   count / sample rate / duration plus RMS + zero-crossing features;
 - REAL video container metadata: MP4/MOV ISO-BMFF box walk (mvhd
   duration, tkhd track dims, versions 0/1) and AVI RIFF avih — feeds
   ``sample_video_frames`` with real durations;
 - STUB (deterministic digest-driven fake, clearly marked): pixel data
-  of the remaining compressed codecs (WEBP, progressive JPEG,
-  video frames). A codec
+  of the remaining compressed codecs (WEBP, arithmetic-coded JPEG,
+  non-MJPEG video frames). A codec
   deployment swaps ``_feature_stub`` for a real decoder and nothing
   else changes — schemas, batch iteration and partitioning are real.
 """
@@ -441,15 +444,76 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
 
 
+def _jpeg_entropy_segments(raw: bytes, i: int) -> tuple[list[bytes], int]:
+    """Split entropy-coded data starting at ``i`` on restart markers,
+    unstuffing 0xFF00. Returns (segments, index of the terminating 0xFF
+    of the next header marker / EOI)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = i
+    while j < len(raw):
+        b = raw[j]
+        if b == 0xFF:
+            nxt = raw[j + 1] if j + 1 < len(raw) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next header marker ends the scan
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments, j
+
+
+def _jpeg_finish(comps, planes, w, h, hmax, vmax) -> tuple[int, int, bytes, int]:
+    """Shared JPEG tail: vectorized 2-D IDCT over dequantized coefficient
+    planes, chroma upsample to full MCU resolution, JFIF YCbCr->RGB.
+    Used by both the baseline and the progressive decoder."""
+    import numpy as np
+
+    # spatial = A^T @ C @ A, A[u, x] = 0.5 * c(u) * cos((2x + 1) u pi / 16)
+    xs = np.arange(8)
+    A = 0.5 * np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    out_planes = []
+    for ci, (_, ch, cv, _) in enumerate(comps):
+        p = planes[ci]
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        spatial = np.einsum("ux,nmuv,vy->nmxy", A, blocks, A)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
+        out_planes.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return int(w), int(h), gray.tobytes(), 1
+    if len(comps) != 3:
+        return None
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return int(w), int(h), rgb.tobytes(), 3
+
+
 def _jpeg_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
     """REAL baseline JPEG decode (ITU-T T.81 sequential DCT, SOF0) with
     stdlib + numpy only: marker walk, canonical Huffman entropy decode,
     dequantize, vectorized 2-D IDCT, chroma upsample, JFIF YCbCr->RGB.
     Handles 1- and 3-component scans, any h/v subsampling (4:4:4, 4:2:2,
     4:2:0, ...), 16-bit quant tables, and restart markers. Progressive
-    (SOF2), arithmetic-coded and 12-bit payloads return None (PIL gate or
-    digest stub). Returns (width, height, raster_bytes, n_channels), the
-    same shape ``decode_raster`` yields."""
+    (SOF2) streams dispatch to ``_jpeg_prog_decode``; arithmetic-coded
+    and 12-bit payloads return None (PIL gate or digest stub). Returns
+    (width, height, raster_bytes, n_channels), the same shape
+    ``decode_raster`` yields."""
     import numpy as np
 
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
@@ -470,7 +534,9 @@ def _jpeg_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
                 return None
             (seglen,) = struct.unpack(">H", raw[i + 2 : i + 4])
             seg = raw[i + 4 : i + 2 + seglen]
-            if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC2:  # progressive DCT: its own multi-scan walk
+                return _jpeg_prog_decode(raw)
+            if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                           0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF / arithmetic coding
             if marker == 0xDB:  # DQT
@@ -527,27 +593,7 @@ def _jpeg_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
         if w is None or not scan or len(scan) != len(comps):
             return None
 
-        # Split the entropy-coded data on restart markers, unstuffing 0xFF00.
-        segments: list[bytes] = []
-        cur = bytearray()
-        j = i
-        while j < len(raw):
-            b = raw[j]
-            if b == 0xFF:
-                nxt = raw[j + 1] if j + 1 < len(raw) else 0xD9
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    j += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segments.append(bytes(cur))
-                    cur = bytearray()
-                    j += 2
-                    continue
-                break  # EOI or next header marker ends the scan
-            cur.append(b)
-            j += 1
-        segments.append(bytes(cur))
+        segments, _ = _jpeg_entropy_segments(raw, i)
 
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
@@ -598,35 +644,289 @@ def _jpeg_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
                             )
                 mcu += 1
 
-        # Vectorized 2-D IDCT over every 8x8 block: spatial = A^T @ C @ A,
-        # A[u, x] = 0.5 * c(u) * cos((2x + 1) u pi / 16).
-        xs = np.arange(8)
-        A = 0.5 * np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
-        A[0] *= 1 / np.sqrt(2)
-        out_planes = []
-        for ci, (_, ch, cv, _) in enumerate(comps):
-            p = planes[ci]
-            by, bx = p.shape[0] // 8, p.shape[1] // 8
-            blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-            spatial = np.einsum("ux,nmuv,vy->nmxy", A, blocks, A)
-            plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
-            # Upsample subsampled chroma to full MCU resolution, crop to image.
-            plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
-            out_planes.append(plane[:h, :w])
-
-        if len(comps) == 1:
-            gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
-            return int(w), int(h), gray.tobytes(), 1
-        if len(comps) != 3:
-            return None
-        y, cb, cr = out_planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
-        return int(w), int(h), rgb.tobytes(), 3
+        return _jpeg_finish(comps, planes, w, h, hmax, vmax)
     except Exception:
         return None
+
+
+def _jpeg_prog_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
+    """REAL progressive JPEG decode (ITU-T T.81 SOF2: spectral selection
+    + successive approximation) with stdlib + numpy only. Multi-scan
+    marker walk accumulating per-component coefficient arrays in zigzag
+    order: DC-first scans (interleaved or single-component, point
+    transform ``<< Al``), DC-refinement bit scans, AC-first band scans
+    with EOBn run coding, and AC-refinement scans (T.81 G.1.2.3
+    correction bits), all with restart-marker support; then one
+    dequantize + the shared ``_jpeg_finish`` IDCT/upsample/YCbCr tail.
+    Arithmetic-coded (SOF10) and 12-bit payloads never reach here
+    (rejected by ``_jpeg_decode``'s marker walk)."""
+    import numpy as np
+
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+        coef: list["np.ndarray"] = []  # (nby, nbx, 64) int32, zigzag order
+        w = h = None
+        hmax = vmax = mcux = mcuy = 0
+        restart = 0
+        i = 2
+        while i + 2 <= len(raw):
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if 0xD0 <= marker <= 0xD7:  # stray RST between scans
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", raw[i + 2 : i + 4])
+            seg = raw[i + 4 : i + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0xF
+                    j += 1
+                    n = 64 * (2 if pq else 1)
+                    vals = (
+                        np.frombuffer(seg[j : j + n], dtype=">u2").astype(np.int32)
+                        if pq
+                        else np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    )
+                    tbl = np.zeros(64, dtype=np.int32)
+                    tbl[_ZIGZAG] = vals
+                    qt[tq] = tbl
+                    j += n
+            elif marker == 0xC4:  # DHT (may be redefined between scans)
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0xF
+                    counts = seg[j + 1 : j + 17]
+                    j += 17
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = seg[j]
+                            code += 1
+                            j += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker == 0xC2:  # SOF2
+                if seg[0] != 8:
+                    return None  # 12-bit precision
+                h, w = struct.unpack(">HH", seg[1:5])
+                ncomp = seg[5]
+                comps = [
+                    (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0xF,
+                     seg[8 + 3 * c])
+                    for c in range(ncomp)
+                ]
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coef = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                    for _, ch, cv, _ in comps
+                ]
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS: one of possibly many scans
+                if not comps:
+                    return None
+                ns = seg[0]
+                scomps: list[tuple[int, int, int]] = []
+                for c in range(ns):
+                    cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    idx = next(k for k, cm in enumerate(comps) if cm[0] == cid)
+                    scomps.append((idx, tt >> 4, tt & 0xF))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+                # T.81 B.2.3 progressive scan-header legality: a DC scan
+                # is exactly the 0..0 band; AC scans are single-component
+                if (ss == 0) != (se == 0) or se > 63 or (ss > 0 and ns != 1):
+                    return None
+                segments, i = _jpeg_entropy_segments(raw, i + 2 + seglen)
+                _jpeg_prog_scan(
+                    coef, comps, scomps, ss, se, ah, al, segments, restart,
+                    mcux, mcuy, hmax, vmax, w, h, huff,
+                )
+                continue  # i already points at the terminating marker
+            i += 2 + seglen
+        if w is None or not coef:
+            return None
+
+        # Dequantize (zigzag -> natural order) and lay out 8x8 blocks the
+        # way the shared IDCT tail expects.
+        planes = []
+        for ci, (_, ch, cv, tq) in enumerate(comps):
+            c = coef[ci]
+            nby, nbx = c.shape[0], c.shape[1]
+            nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+            nat[:, :, _ZIGZAG] = c
+            deq = nat * qt[tq][None, None, :].astype(np.float64)
+            planes.append(
+                deq.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            )
+        return _jpeg_finish(comps, planes, w, h, hmax, vmax)
+    except Exception:
+        return None
+
+
+def _jpeg_prog_scan(
+    coef, comps, scomps, ss, se, ah, al, segments, restart,
+    mcux, mcuy, hmax, vmax, w, h, huff,
+) -> None:
+    """Decode one progressive scan into the zigzag-order coefficient
+    arrays. DC scans (ss == 0) may interleave several components in MCU
+    order; AC scans are single-component in row-major block order over
+    that component's own block grid (T.81 A.2.2). Restart intervals
+    count MCUs (interleaved) or data units (single-component); each
+    restart segment resets the DC predictors and the EOB run."""
+    p1 = 1 << al
+    interleaved = len(scomps) > 1
+
+    def block_grid(ch: int, cv: int) -> tuple[int, int]:
+        # single-component data-unit grid: ceil(ceil(w*ch/hmax)/8) etc.
+        cw, chh = -(-(w * ch) // hmax), -(-(h * cv) // vmax)
+        return -(-cw // 8), -(-chh // 8)
+
+    if ss == 0:
+        # ---- DC scan (first pass: Huffman diffs << al; refine: 1 bit) --
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            ci0, _, _ = scomps[0]
+            _, ch0, cv0, _ = comps[ci0]
+            bw, bh = block_grid(ch0, cv0)
+            n_units = bw * bh
+        per_seg = restart if restart else n_units
+        unit = 0
+        for seg_bytes in segments:
+            if unit >= n_units:
+                break
+            reader = _BitReader(seg_bytes)
+            pred = [0] * len(comps)
+            for _ in range(min(per_seg, n_units - unit)):
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    for ci, td, _ in scomps:
+                        _, ch, cv, _ = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = coef[ci][my * cv + by, mx * ch + bx]
+                                if ah == 0:
+                                    s = _huff_decode(reader, huff[(0, td)])
+                                    pred[ci] += _extend(reader.read_bits(s), s)
+                                    blk[0] = pred[ci] << al
+                                elif reader.read_bit():
+                                    blk[0] = int(blk[0]) | p1
+                else:
+                    ci, td, _ = scomps[0]
+                    by, bx = divmod(unit, bw)
+                    blk = coef[ci][by, bx]
+                    if ah == 0:
+                        s = _huff_decode(reader, huff[(0, td)])
+                        pred[ci] += _extend(reader.read_bits(s), s)
+                        blk[0] = pred[ci] << al
+                    elif reader.read_bit():
+                        blk[0] = int(blk[0]) | p1
+                unit += 1
+        return
+
+    # ---- AC scan: single component only (T.81 B.2.3) -------------------
+    ci, _, ta = scomps[0]
+    _, ch, cv, _ = comps[ci]
+    ac_tab = huff[(1, ta)]
+    bw, bh = block_grid(ch, cv)
+    n_units = bw * bh
+    per_seg = restart if restart else n_units
+    unit = 0
+    for seg_bytes in segments:
+        if unit >= n_units:
+            break
+        reader = _BitReader(seg_bytes)
+        eobrun = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            by, bx = divmod(unit, bw)
+            blk = coef[ci][by, bx]
+            if ah == 0:
+                eobrun = _prog_ac_first(reader, ac_tab, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(reader, ac_tab, blk, ss, se, al, eobrun)
+            unit += 1
+
+
+def _prog_ac_first(reader, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """First AC pass for one block: run/size coefficients scaled by
+    2^al, EOBn codes spanning blocks. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eob = (1 << r) - 1  # this block is a member of the run
+                if r:
+                    eob += reader.read_bits(r)
+                return eob
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            break
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """AC refinement pass for one block (T.81 G.1.2.3): newly nonzero
+    coefficients arrive as run/1 symbols whose runs count zero-history
+    positions only; every already-nonzero coefficient passed over reads
+    one correction bit. Returns the remaining EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): pass 16 zero-history positions
+            else:
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and not (v & p1):
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and reader.read_bit() and not (v & p1):
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _gif_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:

@@ -14,7 +14,8 @@ SPARK_GRAFT_SCALE_OPS selects ops (comma list, default
 own pytest-bench counts triangles at scale-20
 (benchmarks/cugraph/pytest-based/bench_algos.py), "betweenness" (k=10
 sampled sources, the reference pytest-bench's own scale-20 shape),
-"ktruss", and "louvain3", three
+"ktruss", "neighbor_sample" (2-hop fanout [10,25] over 1024 batched
+seeds, the reference bulk-sampler shape), and "louvain3", three
 synchronous local-move passes of the level-0 louvain loop, the
 shuffle-heaviest non-traversal pattern: per-pass edge-sized
 groupBy(vertex, community)).
@@ -133,6 +134,61 @@ for scale in scales:
         ).collect()[0]
         res["betweenness_sum"] = round(float(row["s"]), 3)
         res["betweenness_k10"] = round(time.time() - t0, 1)
+
+    if "neighbor_sample" in ops:
+        # GNN minibatch shape: the reference's bulk sampler benchmarks
+        # (benchmarks/cugraph/standalone/bulk_sampling) run 2-hop
+        # uniform neighbor sampling with fanout [10, 25] over batched
+        # seed lists. 1024 seeds x 16 batches; hop-1 frontier fans to
+        # ~10k sources, hop-2 scores E-sized candidate joins twice.
+        from cugraph_spark import homogeneous_neighbor_sample
+
+        t0 = time.time()
+        seeds = [
+            r["vertex"]
+            for r in g.select_random_vertices(
+                random_state=7, num_vertices=1024
+            ).collect()
+        ]
+        samp = homogeneous_neighbor_sample(
+            g, seeds, [10, 25], random_state=42,
+            starting_vertex_label_offsets=list(range(0, 1025, 64)),
+        )
+        row = samp.agg(F.count("*").alias("n"),
+                       F.countDistinct("minors").alias("d")).collect()[0]
+        res["neighbor_sample_rows"] = row["n"]
+        res["neighbor_sample"] = round(time.time() - t0, 1)
+
+    if "lap" in ops:
+        # Distributed auction LAP above the dense-driver guard: n
+        # workers x n tasks, 16 integer-cost candidates per worker
+        # (identity offset keeps it feasible), n = 2^(scale-4) so
+        # scale 16/18/20 -> 4k/16k/64k workers — all on the auction
+        # IterLoop path (dense JV handles <= 2000).
+        from cugraph_spark import Graph as _G
+        from cugraph_spark.linear_assignment.lap import hungarian_auction
+
+        n_lap = 1 << (scale - 4)
+        off = F.when(F.col("d") == 0, F.lit(0)).otherwise(
+            F.abs(F.xxhash64("src", "d")) % F.lit(n_lap)
+        )  # d=0 keeps the identity candidate -> perfect matching exists
+        cand = spark.range(n_lap).select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("d"),
+        ).select(
+            "src",
+            (F.lit(n_lap) + (F.col("src") + off) % F.lit(n_lap)).alias("dst"),
+            (F.abs(F.xxhash64("src", "d", F.lit(1))) % 10000
+             ).cast("double").alias("weight"),
+        ).dropDuplicates(["src", "dst"])
+        glap = _G(directed=True)
+        glap.from_edgelist(cand, "src", "dst", weight="weight")
+        t0 = time.time()
+        total, assign = hungarian_auction(glap, list(range(n_lap)))
+        res["lap_total"] = int(total)
+        res["lap_workers"] = n_lap
+        res["lap_auction"] = round(time.time() - t0, 1)
+        glap.edgelist.unpersist()
 
     if "louvain3" in ops:
         from cugraph_spark.community.louvain import _one_level

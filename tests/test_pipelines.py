@@ -463,6 +463,59 @@ _ADAM7_ENC = [
 ]
 
 
+def test_jpeg_progressive_decode():
+    """Progressive (SOF2) JPEGs decode for REAL: multi-scan spectral
+    selection + successive approximation reconstructs the quantized
+    coefficients EXACTLY (DC arithmetic-shift + refinement bits; AC
+    magnitude truncation + G.1.2.3 correction bits), so the progressive
+    decode is bit-identical to the baseline decode of the same image —
+    across 4:4:4, 4:2:0, grayscale, DC-scan restarts, a 3-level AC
+    successive-approximation ladder, and EOB runs spanning blocks."""
+    import numpy as np
+
+    from cugraph_spark.pipelines.multimodal import _jpeg_decode
+
+    rng_y, rng_x = np.meshgrid(np.arange(48), np.arange(41), indexing="ij")
+    rgb = np.stack(
+        [
+            ((rng_y * 5 + rng_x * 3) % 256),
+            ((rng_y * 2 + rng_x * 7) % 256),
+            ((rng_y * 11 + rng_x) % 256),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    # 4:4:4, default Al ladder (DC 1 level, AC 1 level)
+    base = _jpeg_decode(_encode_jpeg(41, 48, rgb))
+    prog = _jpeg_decode(_encode_jpeg_progressive(41, 48, rgb))
+    assert base is not None and prog == base
+
+    # 4:2:0 with restarts in the interleaved DC scan
+    base420 = _jpeg_decode(_encode_jpeg(41, 48, rgb, subsample=(2, 2)))
+    prog420 = _jpeg_decode(
+        _encode_jpeg_progressive(41, 48, rgb, subsample=(2, 2), restart=2)
+    )
+    assert base420 is not None and prog420 == base420
+
+    # grayscale, 3-level AC ladder + 2-level DC ladder (deep refinement:
+    # the middle AC refine has nonzero history AND newly-nonzero coefs)
+    gray = ((rng_y * 13 + rng_x * 29) % 256).astype(np.uint8)
+    gbase = _jpeg_decode(_encode_jpeg(41, 48, gray))
+    gprog = _jpeg_decode(
+        _encode_jpeg_progressive(41, 48, gray, dc_al=2, ac_al=(2, 1, 0))
+    )
+    assert gbase is not None and gprog == gbase
+
+    # near-flat image: the AC-first scans are almost all EOB runs
+    # spanning many blocks (exercises EOBn extension bits + the
+    # eobrun>0 skip/refine paths); still exact vs baseline
+    flat = np.full((48, 41, 3), 150, np.uint8)
+    flat[0, 0] = [160, 150, 150]
+    fbase = _jpeg_decode(_encode_jpeg(41, 48, flat))
+    fprog = _jpeg_decode(_encode_jpeg_progressive(41, 48, flat))
+    assert fbase is not None and fprog == fbase
+
+
 def _encode_png_ext(w, h, samples, color_type, bit=8, interlace=0, plte=None,
                     filters=(0,)):
     """Extended minimal PNG writer (independent of the decoder): palette
@@ -821,12 +874,294 @@ def _encode_jpeg(w, h, rgb, subsample=(1, 1), restart=0, q_luma=16, q_chroma=16)
     return out
 
 
+def _encode_jpeg_progressive(w, h, rgb, subsample=(1, 1), restart=0,
+                             dc_al=1, ac_al=(1, 0), band_split=6,
+                             q_luma=16, q_chroma=16):
+    """Minimal progressive-JPEG (SOF2) writer used to prove the stdlib
+    decoder on REAL spec-conformant multi-scan streams. Independent
+    implementation (shares only the FDCT/quant idea with the sequential
+    writer): scan script = interleaved DC first at Al=dc_al + one DC
+    refinement bit scan per level, then per-component AC band scans
+    (comp 0 split at ``band_split``) at Al=ac_al[0] with EOBn run coding,
+    then AC refinement scans down the ac_al ladder with T.81 G.1.2.2/3
+    correction-bit buffering. DC point transform is an arithmetic shift,
+    AC is magnitude truncation, so first+refinements reconstruct the
+    quantized coefficients EXACTLY — progressive decode must equal the
+    baseline decode of the same image bit-for-bit. ``restart`` (MCUs)
+    applies to the interleaved DC-first scan."""
+    import struct as st
+
+    import numpy as np
+
+    hs, vs = subsample
+    grayscale = rgb.ndim == 2
+    if grayscale:
+        planes = [rgb.astype(np.float64)]
+        comps = [(1, 1, 1, 0)]
+    else:
+        r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def pad_to(p, ph, pw):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+
+    prepped = []
+    for ci, (_, ch, cv, _) in enumerate(comps):
+        p = planes[ci]
+        if ci > 0 and (hmax // ch > 1 or vmax // cv > 1):
+            fy, fx = vmax // cv, hmax // ch
+            p = pad_to(p, -(-p.shape[0] // fy) * fy, -(-p.shape[1] // fx) * fx)
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean((1, 3))
+        prepped.append(pad_to(p, mcuy * cv * 8, mcux * ch * 8) - 128.0)
+
+    xs = np.arange(8)
+    B = 0.5 * np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+    B[0] *= 1 / np.sqrt(2)
+    qts = [np.full((8, 8), q_luma, np.int32), np.full((8, 8), q_chroma, np.int32)]
+    zig = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    coeffs = []  # per comp: (nby, nbx, 64) int zigzag-order quantized
+    for ci, (_, ch, cv, tq) in enumerate(comps):
+        p = prepped[ci]
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        F = np.einsum("ux,nmxy,vy->nmuv", B, blocks, B)
+        q = np.rint(F / qts[tq]).astype(np.int64).reshape(by, bx, 64)
+        coeffs.append(q[..., zig])  # zigzag-order coefficients
+
+    class BitWriter:
+        def __init__(self):
+            self.out, self.acc, self.n = bytearray(), 0, 0
+
+        def write(self, code, length):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.write(1, 1)
+            return bytes(self.out)
+
+    def magnitude(v):
+        s, a = 0, abs(v)
+        while a:
+            s, a = s + 1, a >> 1
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    def trunc(v, al):  # AC point transform: truncate toward zero
+        return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+    # fixed-length canonical tables (valid Kraft sums < 1)
+    dc_syms = list(range(12))
+    dc_codes = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    acf_syms = [rr << 4 for rr in range(15)] + [0xF0] + \
+               [(rr << 4) | ss for rr in range(16) for ss in range(1, 11)]
+    acf_codes = {s: (i, 8) for i, s in enumerate(acf_syms)}
+    acr_syms = [rr << 4 for rr in range(15)] + [0xF0] + \
+               [(rr << 4) | 1 for rr in range(16)]
+    acr_codes = {s: (i, 6) for i, s in enumerate(acr_syms)}
+
+    # ---- scan emitters --------------------------------------------------
+    def comp_grid(ci):
+        _, ch, cv, _ = comps[ci]
+        cw, chh = -(-(w * ch) // hmax), -(-(h * cv) // vmax)
+        return -(-cw // 8), -(-chh // 8)
+
+    def dc_first_scan(al):
+        chunks, bw = [], BitWriter()
+        preds, emitted = [0] * len(comps), 0
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                chunks.append(bw.flush())
+                chunks.append(bytes([0xFF, 0xD0 + (emitted % 8)]))
+                emitted += 1
+                bw, preds = BitWriter(), [0] * len(comps)
+            my, mx = divmod(mcu, mcux)
+            for ci, (_, ch, cv, _) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        tdc = int(coeffs[ci][my * cv + by, mx * ch + bx, 0]) >> al
+                        s, bits = magnitude(tdc - preds[ci])
+                        bw.write(*dc_codes[s])
+                        bw.write(bits, s)
+                        preds[ci] = tdc
+        chunks.append(bw.flush())
+        return b"".join(chunks)
+
+    def dc_refine_scan(al):
+        bw = BitWriter()
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci, (_, ch, cv, _) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        bw.write((int(coeffs[ci][my * cv + by, mx * ch + bx, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    class EobState:
+        def __init__(self):
+            self.run, self.bits = 0, []
+
+    def flush_eob(bw, st_, codes):
+        if st_.run:
+            r = st_.run.bit_length() - 1
+            bw.write(*codes[r << 4])
+            if r:
+                bw.write(st_.run - (1 << r), r)
+        for bit in st_.bits:
+            bw.write(bit, 1)
+        st_.run, st_.bits = 0, []
+
+    def ac_first_scan(ci, b0, b1, al):
+        bw, st_ = BitWriter(), EobState()
+        bwid, bhei = comp_grid(ci)
+        for unit in range(bwid * bhei):
+            by, bx = divmod(unit, bwid)
+            seq = coeffs[ci][by, bx]
+            t = [trunc(int(seq[k]), al) for k in range(b0, b1 + 1)]
+            nz = [j for j, v in enumerate(t) if v]
+            if not nz:
+                st_.run += 1
+                continue
+            flush_eob(bw, st_, acf_codes)
+            run = 0
+            for j in range(nz[-1] + 1):
+                if t[j] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*acf_codes[0xF0])
+                    run -= 16
+                s, bits = magnitude(t[j])
+                bw.write(*acf_codes[(run << 4) | s])
+                bw.write(bits, s)
+                run = 0
+            if nz[-1] < len(t) - 1:
+                st_.run += 1
+        flush_eob(bw, st_, acf_codes)
+        return bw.flush()
+
+    def ac_refine_scan(ci, b0, b1, al):
+        bw, st_ = BitWriter(), EobState()
+        bwid, bhei = comp_grid(ci)
+        for unit in range(bwid * bhei):
+            by, bx = divmod(unit, bwid)
+            seq = coeffs[ci][by, bx]
+            t = [trunc(int(seq[k]), al) for k in range(b0, b1 + 1)]
+            hist = [trunc(int(seq[k]), al + 1) for k in range(b0, b1 + 1)]
+            newly = [j for j in range(len(t)) if hist[j] == 0 and t[j] != 0]
+            if not newly:
+                st_.run += 1
+                st_.bits.extend(abs(t[j]) & 1 for j in range(len(t)) if hist[j])
+                continue
+            flush_eob(bw, st_, acr_codes)
+            run, pend = 0, []
+            for j in range(newly[-1] + 1):
+                if t[j] == 0 and not hist[j]:
+                    run += 1
+                    continue
+                # ZRLs flush LAZILY at the next significant position
+                # (correction OR newly nonzero) so each ZRL carries only
+                # the correction bits the decoder reads while advancing
+                # through its 16-zero span (T.81 G.1.2.3 bit ordering)
+                while run > 15:
+                    bw.write(*acr_codes[0xF0])
+                    run -= 16
+                    for bit in pend:
+                        bw.write(bit, 1)
+                    pend = []
+                if hist[j]:
+                    pend.append(abs(t[j]) & 1)
+                    continue
+                bw.write(*acr_codes[(run << 4) | 1])
+                bw.write(1 if t[j] > 0 else 0, 1)
+                for bit in pend:
+                    bw.write(bit, 1)
+                run, pend = 0, []
+            if newly[-1] < len(t) - 1:
+                st_.run += 1
+                st_.bits.extend(
+                    abs(t[j]) & 1 for j in range(newly[-1] + 1, len(t)) if hist[j]
+                )
+        flush_eob(bw, st_, acr_codes)
+        return bw.flush()
+
+    # ---- scan script ----------------------------------------------------
+    bands = {ci: ([(1, band_split - 1), (band_split, 63)] if ci == 0 else [(1, 63)])
+             for ci in range(len(comps))}
+    scans = []  # (scomps, ss, se, ah, al, table_th, data)
+    scans.append(([ci for ci in range(len(comps))], 0, 0, 0, dc_al,
+                  0, dc_first_scan(dc_al)))
+    for ci in range(len(comps)):
+        for b0, b1 in bands[ci]:
+            scans.append(([ci], b0, b1, 0, ac_al[0], 0, ac_first_scan(ci, b0, b1, ac_al[0])))
+    for al in range(dc_al - 1, -1, -1):
+        scans.append(([ci for ci in range(len(comps))], 0, 0, al + 1, al,
+                      0, dc_refine_scan(al)))
+    for a_prev, a in zip(ac_al, ac_al[1:]):
+        for ci in range(len(comps)):
+            for b0, b1 in bands[ci]:
+                scans.append(([ci], b0, b1, a_prev, a, 1, ac_refine_scan(ci, b0, b1, a)))
+
+    # ---- markers ----------------------------------------------------------
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tq, q):
+        return seg(0xDB, bytes([tq]) + bytes(int(q[z // 8, z % 8]) for z in zig))
+
+    def dht(tc, th, syms, length):
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(counts) + bytes(syms))
+
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+
+    out = b"\xff\xd8" + dqt(0, qts[0])
+    if not grayscale:
+        out += dqt(1, qts[1])
+    out += dht(0, 0, dc_syms, 4) + dht(1, 0, acf_syms, 8) + dht(1, 1, acr_syms, 6)
+    out += seg(0xC2, sof)
+    for si, (scomps, ss, se, ah, al, th, data) in enumerate(scans):
+        if restart and si == 0:
+            out += seg(0xDD, st.pack(">H", restart))  # DC scan only
+        elif restart and si == 1:
+            out += seg(0xDD, st.pack(">H", 0))  # DRI persists: reset it
+        # component byte packs (td << 4) | ta; td (=0) only read in DC scans
+        sos = bytes([len(scomps)]) + b"".join(
+            bytes([comps[ci][0], th]) for ci in scomps
+        )
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos) + data
+    return out + b"\xff\xd9"
+
+
 def test_jpeg_stdlib_raster_decode(spark):
     """Baseline JPEGs decode for REAL in this container (no Pillow):
     flat-gray images round-trip EXACTLY (DC-only blocks are analytic),
     smooth gradients round-trip within quantization error, for 4:4:4,
-    4:2:0, grayscale and restart-marker streams; progressive falls back
-    to the digest stub."""
+    4:2:0, grayscale and restart-marker streams; malformed SOF2 scan
+    headers return None (real progressive: test_jpeg_progressive_decode)."""
     import numpy as np
 
     from cugraph_spark.pipelines.multimodal import (
@@ -875,24 +1210,27 @@ def test_jpeg_stdlib_raster_decode(spark):
     g = np.frombuffer(got[2], np.uint8).reshape(21, 37).astype(np.int32)
     assert np.abs(g - gray.astype(np.int32)).mean() < 4  # measured 1.18
 
-    # 5) progressive (SOF2) is out of scope -> None
+    # 5) a baseline stream relabeled SOF2 is ILLEGAL progressive (T.81
+    #    B.2.3: Ss=0 requires Se=0) -> None, not a misparse. Real
+    #    progressive streams are covered by test_jpeg_progressive_decode.
     baseline = _encode_jpeg(16, 16, flat, subsample=(1, 1))
     progressive = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert _jpeg_decode(progressive) is None
 
     # 6) end-to-end through the Arrow-batched mapInPandas stage: REAL
-    #    format + REAL pixel features for baseline, stub for progressive
+    #    format + REAL pixel features for baseline AND progressive
     df = spark.createDataFrame(
         [(1, bytearray(_encode_jpeg(16, 16, flat, subsample=(2, 2)))),
-         (2, bytearray(progressive))],
+         (2, bytearray(_encode_jpeg_progressive(16, 16, flat)))],
         "media_id long, payload binary",
     )
     out = {r["media_id"]: r for r in decode_images(df).collect()}
     assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (16, 16, "jpeg")
     flat_bytes = bytes([v] * (16 * 16 * 3))
     assert out[1]["feature"] == pytest.approx(_pixel_feature(flat_bytes, 3), abs=1e-6)
-    # progressive keeps the REAL header dims but the digest-stub feature
-    assert (out[2]["width"], out[2]["height"]) == (16, 16)
+    # progressive decodes for REAL too: same flat image, same feature
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (16, 16, "jpeg")
+    assert out[2]["feature"] == pytest.approx(_pixel_feature(flat_bytes, 3), abs=1e-6)
 
 
 def _encode_gif(w, h, idx, palette, interlace=False):
