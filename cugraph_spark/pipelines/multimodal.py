@@ -19,6 +19,9 @@ this container):
   AND progressive (SOF2: spectral-selection band scans with EOBn runs
   + successive-approximation DC/AC refinement bit scans, G.1.2.3) —
   and GIF (variable-width LZW + palette + deinterlace, first frame),
+  WEBP lossless (full VP8L bitstream: canonical prefix codes, meta
+  prefix groups, LZ77 + color cache, predictor / cross-color /
+  subtract-green / color-indexing transforms with pixel bundling),
   plus Motion-JPEG AVI first frames via the RIFF ``movi`` walk;
 - REAL audio decode via the stdlib ``wave`` module: PCM WAV channel
   count / sample rate / duration plus RMS + zero-crossing features;
@@ -26,8 +29,8 @@ this container):
   duration, tkhd track dims, versions 0/1) and AVI RIFF avih — feeds
   ``sample_video_frames`` with real durations;
 - STUB (deterministic digest-driven fake, clearly marked): pixel data
-  of the remaining compressed codecs (WEBP, arithmetic-coded JPEG,
-  non-MJPEG video frames). A codec
+  of the remaining compressed codecs (lossy VP8 WEBP, arithmetic-coded
+  JPEG, non-MJPEG video frames). A codec
   deployment swaps ``_feature_stub`` for a real decoder and nothing
   else changes — schemas, batch iteration and partitioning are real.
 """
@@ -108,6 +111,25 @@ def parse_image_header(b: bytes) -> Optional[tuple[int, int, str]]:
     if len(b) >= 26 and b[:2] == b"BM":
         w, h = struct.unpack("<ii", b[18:26])
         return w, abs(h), "bmp"
+    if len(b) >= 20 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        i = 12
+        while i + 8 <= len(b):
+            fourcc = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            p = b[i + 8 : i + 8 + size]
+            if fourcc == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+                bits = struct.unpack("<I", p[1:5])[0]
+                return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp"
+            if fourcc == b"VP8X" and len(p) >= 10:  # canvas size, 24-bit LE
+                w = 1 + int.from_bytes(p[4:7], "little")
+                h = 1 + int.from_bytes(p[7:10], "little")
+                return w, h, "webp"
+            if fourcc == b"VP8 " and len(p) >= 10 and p[3:6] == b"\x9d\x01\x2a":
+                w = struct.unpack("<H", p[6:8])[0] & 0x3FFF
+                h = struct.unpack("<H", p[8:10])[0] & 0x3FFF
+                return w, h, "webp"
+            i += 8 + size + (size & 1)
+        return None
     if len(b) >= 2 and b[:2] in (b"P5", b"P6"):
         try:
             toks = _ppm_tokens(b, 3)
@@ -1049,6 +1071,456 @@ def _lzw_decode(data: bytes, min_code: int, limit: int) -> Optional[bytes]:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# WEBP lossless (VP8L) — REAL stdlib decode.
+#
+# Full "WebP Lossless Bitstream Specification" coverage: canonical prefix
+# codes (simple 1-2-symbol and code-length-coded forms), meta prefix
+# groups via the entropy image, LZ77 backward references with the 120-code
+# close-neighbor distance map, the color cache, and all four transforms
+# (predictor with its 14 modes, cross-color, subtract-green, and color
+# indexing with sub-byte pixel bundling). Lossy VP8 (boolean arithmetic
+# coder + loop filter) stays PIL-gated/digest-stubbed.
+# ---------------------------------------------------------------------------
+
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# (xoffset, yoffset) for distance codes 1..120 (spec's close-neighbor map)
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+class _LsbReader:
+    """LSB-first bit reader (VP8L field order; prefix-code bits are read
+    one at a time, first-read bit = MSB of the canonical code)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        p = self.pos
+        if (p >> 3) >= len(self.data):
+            raise ValueError("vp8l: out of bits")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.bit() << i
+        return v
+
+
+def _vp8l_canonical(lengths: list[int]):
+    """Canonical prefix table: {(length, code): symbol} (DEFLATE-style
+    assignment: shorter first, then symbol order). A 0/1-used-symbol code
+    is returned as ('const', symbol) — read with zero bits."""
+    used = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not used:
+        return ("const", 0)
+    if len(used) == 1:
+        return ("const", used[0][1])
+    used.sort()
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    prev_len = used[0][0]
+    for l, s in used:
+        code <<= l - prev_len
+        prev_len = l
+        table[(l, code)] = s
+        code += 1
+    if code != (1 << prev_len):
+        raise ValueError("vp8l: incomplete prefix code")
+    return table
+
+
+def _vp8l_read_sym(r: _LsbReader, table) -> int:
+    if isinstance(table, tuple):  # ('const', sym)
+        return table[1]
+    acc = 0
+    for length in range(1, 16):
+        acc = (acc << 1) | r.bit()
+        s = table.get((length, acc))
+        if s is not None:
+            return s
+    raise ValueError("vp8l: bad prefix code")
+
+
+def _vp8l_read_code(r: _LsbReader, alphabet_size: int):
+    """One prefix code: the simple (1-2 symbol) form or the normal form
+    whose symbol lengths are themselves prefix-coded (19-symbol
+    code-length alphabet, order _VP8L_CLC_ORDER, repeats 16/17/18)."""
+    if r.bit():  # simple
+        num_symbols = r.bit() + 1
+        sym0 = r.bits(8) if r.bit() else r.bit()
+        if num_symbols == 1:
+            return ("const", sym0)
+        sym1 = r.bits(8)
+        # 1-bit code in transmission order: first-read 0 -> sym0
+        return {(1, 0): sym0, (1, 1): sym1}
+    num_clc = 4 + r.bits(4)
+    clc_len = [0] * 19
+    for i in range(num_clc):
+        clc_len[_VP8L_CLC_ORDER[i]] = r.bits(3)
+    clc = _vp8l_canonical(clc_len)
+    if r.bit():  # explicit cap on how many length symbols are coded
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8  # spec's default repeat-16 seed
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code = _vp8l_read_sym(r, clc)
+        if code < 16:
+            lengths[symbol] = code
+            symbol += 1
+            if code:
+                prev_len = code
+        elif code == 16:
+            rep, fill = 3 + r.bits(2), prev_len
+        elif code == 17:
+            rep, fill = 3 + r.bits(3), 0
+        else:
+            rep, fill = 11 + r.bits(7), 0
+        if code >= 16:
+            for _ in range(rep):
+                if symbol >= alphabet_size:
+                    raise ValueError("vp8l: repeat overflows alphabet")
+                lengths[symbol] = fill
+                symbol += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix_value(code: int, r: _LsbReader) -> int:
+    """LZ77 length / distance prefix decode (spec 'prefix coding')."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.bits(extra) + 1
+
+
+def _vp8l_image(r: _LsbReader, w: int, h: int, is_level0: bool):
+    """decode_image_stream: returns (list of ARGB uint32 of len w*h at
+    the CODED width, transforms list [(type, data..., w_at_read)], coded
+    width). Transforms are only present at level 0."""
+    transforms = []
+    seen = set()
+    cur_w = w
+    if is_level0:
+        while r.bit():
+            ttype = r.bits(2)
+            if ttype in seen:
+                raise ValueError("vp8l: duplicate transform")
+            seen.add(ttype)
+            if ttype in (0, 1):  # PREDICTOR / COLOR
+                size_bits = r.bits(3) + 2
+                bw = (cur_w + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub, _, _ = _vp8l_image(r, bw, bh, False)
+                transforms.append((ttype, size_bits, sub, cur_w))
+            elif ttype == 2:  # SUBTRACT_GREEN
+                transforms.append((2, None, None, cur_w))
+            else:  # COLOR_INDEXING
+                n_colors = r.bits(8) + 1
+                pal, _, _ = _vp8l_image(r, n_colors, 1, False)
+                for i in range(1, n_colors):  # palette stored as deltas
+                    pal[i] = (
+                        ((pal[i] & 0xFF00FF00) + (pal[i - 1] & 0xFF00FF00))
+                        & 0xFF00FF00
+                    ) | (
+                        ((pal[i] & 0x00FF00FF) + (pal[i - 1] & 0x00FF00FF))
+                        & 0x00FF00FF
+                    )
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, width_bits, pal, cur_w))
+                if width_bits:
+                    cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+
+    cache_bits = r.bits(4) if r.bit() else 0
+    if cache_bits > 11:
+        raise ValueError("vp8l: bad color cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_level0 and r.bit():  # meta prefix codes via the entropy image
+        meta_bits = r.bits(3) + 2
+        mw = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta, _, _ = _vp8l_image(r, mw, mh, False)
+        n_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+
+    green_size = 256 + 24 + cache_size
+    groups = [
+        (
+            _vp8l_read_code(r, green_size),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 40),
+        )
+        for _ in range(n_groups)
+    ]
+
+    n = cur_w * h
+    out: list[int] = [0] * n
+    pos = 0
+    mw = ((cur_w + (1 << meta_bits) - 1) >> meta_bits) if meta is not None else 0
+    while pos < n:
+        if meta is not None:
+            x, y = pos % cur_w, pos // cur_w
+            mp = meta[(y >> meta_bits) * mw + (x >> meta_bits)]
+            grp = groups[(mp >> 8) & 0xFFFF]
+        else:
+            grp = groups[0]
+        g_code, r_code, b_code, a_code, d_code = grp
+        s = _vp8l_read_sym(r, g_code)
+        if s < 256:  # literal: G then R, B, A
+            red = _vp8l_read_sym(r, r_code)
+            blue = _vp8l_read_sym(r, b_code)
+            alpha = _vp8l_read_sym(r, a_code)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_size:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_prefix_value(s - 256, r)
+            dcode = _vp8l_prefix_value(_vp8l_read_sym(r, d_code), r)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dcode - 1]
+                dist = max(1, dy * cur_w + dx)
+            if dist > pos or pos + length > n:
+                raise ValueError("vp8l: bad backward reference")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache_size:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        else:  # color cache hit
+            if not cache_size:
+                raise ValueError("vp8l: cache symbol without cache")
+            out[pos] = cache[s - 280]
+            pos += 1
+    return out, transforms, cur_w
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_clamp_add_sub_half(ab: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        a = (ab >> sh) & 0xFF
+        d = a - ((c >> sh) & 0xFF)
+        v = a + (d // 2 if d >= 0 else -((-d) // 2))  # C trunc division
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_select(left: int, top: int, top_left: int) -> int:
+    p_l = p_t = 0
+    for sh in (0, 8, 16, 24):
+        p = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((top_left >> sh) & 0xFF)
+        p_l += abs(p - ((left >> sh) & 0xFF))
+        p_t += abs(p - ((top >> sh) & 0xFF))
+    return left if p_l <= p_t else top
+
+
+def _vp8l_predict(mode: int, px, w: int, x: int, y: int) -> int:
+    """Predictor modes 0-13 over already-reconstructed neighbors."""
+    pos = y * w + x
+    if y == 0:  # top row: L mode everywhere, black at the corner
+        return 0xFF000000 if x == 0 else px[pos - 1]
+    T = px[pos - w]
+    if x == 0:  # leftmost column: T mode regardless of the block mode
+        return T
+    L = px[pos - 1]
+    TL = px[pos - w - 1]
+    # rightmost column's top-right wraps to the first pixel of this row
+    TR = px[pos - w + 1] if x + 1 < w else px[y * w]
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    if mode == 11:
+        return _vp8l_select(L, T, TL)
+    if mode == 12:
+        return _vp8l_clamp_add_sub_full(L, T, TL)
+    if mode == 13:
+        return _vp8l_clamp_add_sub_half(_vp8l_avg2(L, T), TL)
+    raise ValueError("vp8l: bad predictor mode")
+
+
+def _vp8l_delta(t: int, c: int) -> int:
+    """Cross-color transform delta: (int8(t) * int8(c)) >> 5."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _vp8l_inverse_transforms(px: list[int], transforms, w: int, h: int):
+    """Apply inverse transforms in reverse read order; returns (pixels,
+    width) at full resolution."""
+    for ttype, p1, p2, w_at_read in reversed(transforms):
+        if ttype == 3:  # COLOR_INDEXING
+            width_bits, pal = p1, p2
+            if width_bits:
+                packed_w = (w_at_read + (1 << width_bits) - 1) >> width_bits
+                per = 1 << width_bits  # indices per packed pixel
+                ibits = 8 >> width_bits  # bits per index
+                mask = (1 << ibits) - 1
+                out = [0] * (w_at_read * h)
+                for y in range(h):
+                    for x in range(w_at_read):
+                        packed = px[y * packed_w + (x >> width_bits)]
+                        idx = ((packed >> 8) & 0xFF) >> (ibits * (x % per)) & mask
+                        out[y * w_at_read + x] = pal[idx] if idx < len(pal) else 0
+                px = out
+            else:
+                px = [pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < len(pal) else 0 for p in px]
+            w = w_at_read
+        elif ttype == 2:  # SUBTRACT_GREEN inverse
+            for i, p in enumerate(px):
+                g = (p >> 8) & 0xFF
+                red = (((p >> 16) & 0xFF) + g) & 0xFF
+                blue = ((p & 0xFF) + g) & 0xFF
+                px[i] = (p & 0xFF00FF00) | (red << 16) | blue
+        elif ttype == 1:  # COLOR (cross-color) inverse
+            size_bits, sub = p1, p2
+            bw = (w + (1 << size_bits) - 1) >> size_bits
+            for y in range(h):
+                for x in range(w):
+                    cte = sub[(y >> size_bits) * bw + (x >> size_bits)]
+                    g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
+                    p = px[y * w + x]
+                    g = (p >> 8) & 0xFF
+                    red = (((p >> 16) & 0xFF) + _vp8l_delta(g2r, g)) & 0xFF
+                    blue = ((p & 0xFF) + _vp8l_delta(g2b, g) + _vp8l_delta(r2b, red)) & 0xFF
+                    px[y * w + x] = (p & 0xFF00FF00) | (red << 16) | blue
+        elif ttype == 0:  # PREDICTOR inverse
+            size_bits, sub = p1, p2
+            bw = (w + (1 << size_bits) - 1) >> size_bits
+            for y in range(h):
+                for x in range(w):
+                    mode = (sub[(y >> size_bits) * bw + (x >> size_bits)] >> 8) & 0xFF
+                    pred = _vp8l_predict(mode, px, w, x, y)
+                    p = px[y * w + x]
+                    px[y * w + x] = (
+                        (((p >> 24) + (pred >> 24)) & 0xFF) << 24
+                        | ((((p >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF) << 16
+                        | ((((p >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
+                        | ((p & 0xFF) + (pred & 0xFF)) & 0xFF
+                    )
+    return px, w
+
+
+def _webp_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
+    """REAL stdlib WEBP-lossless decode: walks the RIFF container to the
+    VP8L chunk and decodes the full lossless bitstream (prefix codes,
+    meta groups, LZ77 + color cache, all four transforms). Returns
+    (width, height, rgb(a)_bytes, nch); None for lossy VP8 / malformed
+    streams (those stay PIL-gated)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        return None
+    try:
+        i = 12
+        payload = None
+        while i + 8 <= len(raw):
+            fourcc = raw[i : i + 4]
+            size = struct.unpack("<I", raw[i + 4 : i + 8])[0]
+            if fourcc == b"VP8L":
+                payload = raw[i + 8 : i + 8 + size]
+                break
+            i += 8 + size + (size & 1)
+        if not payload or payload[0] != 0x2F:
+            return None
+        r = _LsbReader(payload[1:])
+        w = r.bits(14) + 1
+        h = r.bits(14) + 1
+        alpha_used = r.bit()
+        if r.bits(3) != 0:  # version must be 0
+            return None
+        px, transforms, _ = _vp8l_image(r, w, h, True)
+        px, w2 = _vp8l_inverse_transforms(px, transforms, w, h)
+        if w2 != w or len(px) != w * h:
+            return None
+        nch = 4 if alpha_used else 3
+        out = bytearray(w * h * nch)
+        for i, p in enumerate(px):
+            out[i * nch] = (p >> 16) & 0xFF
+            out[i * nch + 1] = (p >> 8) & 0xFF
+            out[i * nch + 2] = p & 0xFF
+            if nch == 4:
+                out[i * nch + 3] = (p >> 24) & 0xFF
+        return w, h, bytes(out), nch
+    except Exception:
+        return None
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
     """STUB fallback for undecodable payloads: deterministic fake
     (width, height, format) from a stable digest of the bytes. A codec
@@ -1090,6 +1562,8 @@ def decode_images(
                     ras = _jpeg_decode(raw)
                 if ras is None:
                     ras = _gif_decode(raw)
+                if ras is None:
+                    ras = _webp_decode(raw)
                 if ras is not None:
                     # Raster dims win over header dims: a GIF first frame
                     # can be smaller than the logical screen, and the

@@ -1666,3 +1666,590 @@ def test_avi_mjpeg_frame_decode(spark):
     out = decode_videos(df).collect()[0]
     assert (out["width"], out["height"], out["format"]) == (w, h, "avi")
     assert out["feature"] == pytest.approx(_pixel_feature(rgb, 3), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# WEBP lossless (VP8L): spec-conformant self-encoded streams, the same
+# strategy the JPEG/GIF/PNG decoder tests use — an independent minimal
+# encoder here, the shipped decoder must reconstruct pixels exactly.
+# ---------------------------------------------------------------------------
+
+
+class _VP8LW:
+    """LSB-first bit writer; prefix-code bits go MSB-of-code first."""
+
+    def __init__(self):
+        self.b = []
+
+    def bits(self, v, n):
+        for i in range(n):
+            self.b.append((v >> i) & 1)
+
+    def code(self, code, length):
+        for i in reversed(range(length)):
+            self.b.append((code >> i) & 1)
+
+    def tobytes(self):
+        out = bytearray((len(self.b) + 7) // 8)
+        for i, bit in enumerate(self.b):
+            out[i >> 3] |= bit << (i & 7)
+        return bytes(out)
+
+
+def _vp8l_hufflens(freqs):
+    """Huffman code lengths from a {sym: freq} dict (heap-based; test
+    alphabets never exceed depth 15)."""
+    import heapq
+
+    items = sorted(freqs.items())
+    if len(items) == 1:
+        return {items[0][0]: 1}
+    heap = [(f, i, [s]) for i, (s, f) in enumerate(items)]
+    heapq.heapify(heap)
+    depth = {s: 0 for s, _ in items}
+    n = len(items)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        n += 1
+        heapq.heappush(heap, (f1 + f2, n, s1 + s2))
+    return depth
+
+
+def _vp8l_canon_codes(lens):
+    """{sym: (code, len)} canonical (shorter first, then symbol order)."""
+    out = {}
+    code = 0
+    prev = None
+    for l, s in sorted((l, s) for s, l in lens.items()):
+        code = code << (l - (prev if prev is not None else l))
+        prev = l
+        out[s] = (code, l)
+        code += 1
+    return out
+
+
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_write_prefix_code(bw, lens, alphabet_size, force_normal=False):
+    """Emit one prefix code. Simple form for <=2 sub-256 symbols unless
+    force_normal; else the normal code-length-coded form (zero runs via
+    17/18)."""
+    syms = sorted(lens)
+    if not force_normal and len(syms) <= 2 and all(s < 256 for s in syms):
+        bw.bits(1, 1)  # simple
+        bw.bits(len(syms) - 1, 1)
+        first = syms[0]
+        if first > 1:
+            bw.bits(1, 1)
+            bw.bits(first, 8)
+        else:
+            bw.bits(0, 1)
+            bw.bits(first, 1)
+        if len(syms) == 2:
+            bw.bits(syms[1], 8)
+        return {s: (i, 1 if len(syms) == 2 else 0) for i, s in enumerate(syms)}
+    bw.bits(0, 1)  # normal
+    lengths = [lens.get(s, 0) for s in range(alphabet_size)]
+    # RLE the zero runs into 17/18 codes
+    seq = []
+    i = 0
+    while i < len(lengths):
+        if lengths[i] == 0:
+            j = i
+            while j < len(lengths) and lengths[j] == 0:
+                j += 1
+            run = j - i
+            if j == len(lengths):
+                break  # trailing zeros are implicit
+            while run >= 3:
+                take = min(run, 138)
+                if take < 11:
+                    take = min(run, 10)
+                    seq.append((17, take - 3, 3))
+                else:
+                    seq.append((18, take - 11, 7))
+                run -= take
+            seq.extend([(0, 0, 0)] * run)
+            i = j
+        else:
+            seq.append((lengths[i], 0, 0))
+            i += 1
+    # trailing zeros are NOT implicit in VP8L: cap the number of coded
+    # length symbols with the explicit max_symbol field (min 2)
+    while len(seq) < 2:
+        seq.append((0, 0, 0))
+    clc_freq = {}
+    for s, _, _ in seq:
+        clc_freq[s] = clc_freq.get(s, 0) + 1
+    if len(clc_freq) == 1:  # give the canonical code a 2nd symbol
+        clc_freq[15 if 15 not in clc_freq else 14] = 1
+    clc_lens = _vp8l_hufflens(clc_freq)
+    clc_codes = _vp8l_canon_codes(clc_lens)
+    bw.bits(15, 4)  # num_code_lengths = 19: emit every position
+    for s in _CLC_ORDER:
+        bw.bits(clc_lens.get(s, 0), 3)
+    bw.bits(1, 1)  # explicit max_symbol = len(seq): stop after our codes
+    nbits = 2
+    while 2 + ((1 << nbits) - 1) < len(seq):
+        nbits += 2
+    bw.bits((nbits - 2) // 2, 3)
+    bw.bits(len(seq) - 2, nbits)
+    for s, extra, nbits in seq:
+        c, l = clc_codes[s]
+        bw.code(c, l)
+        if nbits:
+            bw.bits(extra, nbits)
+    codes = _vp8l_canon_codes(lens)
+    if len(lens) == 1:  # decoder reads single-symbol codes with 0 bits
+        codes = {s: (0, 0) for s in lens}
+    return codes
+
+
+def _vp8l_prefix_enc(value):
+    """Inverse of the decoder's LZ77 prefix value: (code, extra, nbits)."""
+    V = value - 1
+    if V < 4:
+        return V, 0, 0
+    eb = V.bit_length() - 2
+    b = (V >> eb) - 2
+    return 2 * eb + 2 + b, V - ((2 + b) << eb), eb
+
+
+def _vp8l_emit_entropy_image(bw, w, h, tokens, cache_bits=0, group_of=None,
+                             meta_bits=0, meta_pixels=None, level0=False):
+    """Entropy-coded image from a token list in scan order. Tokens:
+    ('lit', a, r, g, b) / ('cache', idx) / ('copy', len, dist) (dist
+    emitted as plain code dist+120) / ('copymap', len, mapcode 1..120).
+    group_of(x, y) selects the prefix group; meta_pixels is the already
+    token-encoded entropy image (list of ('lit', ...) tokens) when
+    meta_bits > 0."""
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    n_groups = 1
+    if meta_bits:
+        bw.bits(1, 1)
+        bw.bits(meta_bits - 2, 3)
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        _vp8l_emit_entropy_image(bw, mw, mh, meta_pixels)
+        n_groups = max((t[2] << 8) | t[3] for t in meta_pixels) + 1
+    elif level0:
+        bw.bits(0, 1)  # no meta prefix codes
+        if group_of is not None:
+            raise AssertionError("group_of requires meta_bits")
+    if group_of is None:
+        group_of = lambda x, y: 0
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_size = 256 + 24 + cache_size
+    # frequencies per group
+    freqs = [
+        [dict() for _ in range(5)] for _ in range(n_groups)
+    ]  # green, red, blue, alpha, dist
+
+    def bump(g, which, sym):
+        d = freqs[g][which]
+        d[sym] = d.get(sym, 0) + 1
+
+    pos = 0
+    for t in tokens:
+        g = group_of(pos % w, pos // w)
+        if t[0] == "lit":
+            _, a, r, gr, b = t
+            bump(g, 0, gr)
+            bump(g, 1, r)
+            bump(g, 2, b)
+            bump(g, 3, a)
+            pos += 1
+        elif t[0] == "cache":
+            bump(g, 0, 280 + t[1])
+            pos += 1
+        else:
+            code, _, _ = _vp8l_prefix_enc(t[1])
+            bump(g, 0, 256 + code)
+            dval = t[2] + 120 if t[0] == "copy" else t[2]
+            dcode, _, _ = _vp8l_prefix_enc(dval)
+            bump(g, 4, dcode)
+            pos += t[1]
+
+    group_codes = []
+    for g in range(n_groups):
+        gc = []
+        for which, size in ((0, green_size), (1, 256), (2, 256), (3, 256), (4, 40)):
+            f = freqs[g][which]
+            if not f:
+                f = {0: 1}
+            lens = _vp8l_hufflens(f)
+            force = any(s >= 256 for s in lens)
+            gc.append(_vp8l_write_prefix_code(bw, lens, size, force_normal=force))
+        group_codes.append(gc)
+
+    def put(codes, sym):
+        c, l = codes[sym]
+        bw.code(c, l)
+
+    pos = 0
+    for t in tokens:
+        gc = group_codes[group_of(pos % w, pos // w)]
+        if t[0] == "lit":
+            _, a, r, gr, b = t
+            put(gc[0], gr)
+            put(gc[1], r)
+            put(gc[2], b)
+            put(gc[3], a)
+            pos += 1
+        elif t[0] == "cache":
+            put(gc[0], 280 + t[1])
+            pos += 1
+        else:
+            code, extra, nbits = _vp8l_prefix_enc(t[1])
+            put(gc[0], 256 + code)
+            bw.bits(extra, nbits)
+            dval = t[2] + 120 if t[0] == "copy" else t[2]
+            dcode, dextra, dnbits = _vp8l_prefix_enc(dval)
+            put(gc[4], dcode)
+            bw.bits(dextra, dnbits)
+            pos += t[1]
+
+
+def _lit(px):
+    """ARGB int -> literal token."""
+    return ("lit", (px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF)
+
+
+def _wrap_webp(vp8l_payload):
+    import struct as st
+
+    chunk = b"VP8L" + st.pack("<I", len(vp8l_payload)) + vp8l_payload
+    if len(vp8l_payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + st.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _encode_vp8l(w, h, argb, alpha_used=0, header_writer=None, tokens=None,
+                 cache_bits=0, meta_bits=0, meta_pixels=None, group_of=None):
+    bw = _VP8LW()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(alpha_used, 1)
+    bw.bits(0, 3)  # version
+    if header_writer is not None:
+        header_writer(bw)  # transforms
+    else:
+        bw.bits(0, 1)  # no transforms
+    if tokens is None:
+        tokens = [_lit(p) for p in argb]
+    _vp8l_emit_entropy_image(bw, w, h, tokens, cache_bits=cache_bits,
+                             group_of=group_of, meta_bits=meta_bits,
+                             meta_pixels=meta_pixels, level0=True)
+    return _wrap_webp(b"\x2f" + bw.tobytes())
+
+
+def _argb_image(w, h, seed=7):
+    """Deterministic multi-valued ARGB test image (alpha 255)."""
+    return [
+        0xFF000000
+        | (((x * 31 + y * 17 + seed) % 256) << 16)
+        | (((x * 7 + y * 43) % 256) << 8)
+        | ((x * 13 + y * 29 + 3 * seed) % 256)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def _rgb_bytes(argb, w, h):
+    out = bytearray()
+    for p in argb:
+        out += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+    return bytes(out)
+
+
+def test_vp8l_literals_and_header():
+    """Plain literal VP8L streams decode exactly; the RIFF/VP8L header
+    yields real dimensions for lossless AND lossy/extended containers."""
+    import struct as st
+
+    from cugraph_spark.pipelines.multimodal import (
+        _webp_decode,
+        parse_image_header,
+    )
+
+    w, h = 9, 5
+    argb = _argb_image(w, h)
+    webp = _encode_vp8l(w, h, argb)
+    assert parse_image_header(webp) == (w, h, "webp")
+    got = _webp_decode(webp)
+    assert got == (w, h, _rgb_bytes(argb, w, h), 3)
+
+    # alpha channel rides through when alpha_is_used is set
+    argb_a = [(p & 0xFFFFFF) | (((i * 37) % 256) << 24) for i, p in enumerate(argb)]
+    got = _webp_decode(_encode_vp8l(w, h, argb_a, alpha_used=1))
+    assert got is not None and got[3] == 4
+    exp = bytearray()
+    for p in argb_a:
+        exp += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF))
+    assert got[2] == bytes(exp)
+
+    # lossy VP8 header: dims parse, raster stays undecoded (None)
+    vp8 = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+           + st.pack("<H", 33) + st.pack("<H", 21) + b"\x00" * 8)
+    lossy = b"RIFF" + st.pack("<I", 12 + len(vp8)) + b"WEBP" \
+        + b"VP8 " + st.pack("<I", len(vp8)) + vp8
+    assert parse_image_header(lossy) == (33, 21, "webp")
+    assert _webp_decode(lossy) is None
+
+    # VP8X canvas dims
+    vp8x = b"\x00\x00\x00\x00" + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    ext = b"RIFF" + st.pack("<I", 12 + len(vp8x)) + b"WEBP" \
+        + b"VP8X" + st.pack("<I", len(vp8x)) + vp8x
+    assert parse_image_header(ext) == (640, 480, "webp")
+
+
+def test_vp8l_lz77_cache_and_distance_map():
+    """LZ77 backward references (plain distances AND the close-neighbor
+    distance map) and color-cache hits reconstruct exactly."""
+    from cugraph_spark.pipelines.multimodal import _webp_decode
+
+    w, h = 8, 4
+    row = [0xFF000000 | ((x * 40 + 10) << 16) | ((x * 9) << 8) | (255 - x * 30 % 256)
+           for x in range(w)]
+    argb = row * h  # every row identical
+    # row 0 literal; row 1 copied via plain distance w; row 2 via map
+    # code 1 = (0, 1) -> distance w; row 3 from the color cache
+    cache_bits = 6
+    cache_idx = {}
+    for p in row:
+        cache_idx[p] = ((0x1E35A7BD * p) & 0xFFFFFFFF) >> (32 - cache_bits)
+    tokens = [_lit(p) for p in row]
+    tokens.append(("copy", w, w))
+    tokens.append(("copymap", w, 1))
+    tokens.extend(("cache", cache_idx[p]) for p in row)
+    got = _webp_decode(_encode_vp8l(w, h, argb, tokens=tokens, cache_bits=cache_bits))
+    assert got == (w, h, _rgb_bytes(argb, w, h), 3)
+
+
+def test_vp8l_subtract_green_and_predictor():
+    """SUBTRACT_GREEN and PREDICTOR transforms invert exactly (all-mode
+    sub-image: one 16px block per mode across a 64x28 image)."""
+    from cugraph_spark.pipelines.multimodal import _webp_decode
+
+    w, h = 9, 6
+    argb = _argb_image(w, h, seed=11)
+
+    # subtract-green: store r-g, b-g
+    def sg_header(bw):
+        bw.bits(1, 1)
+        bw.bits(2, 2)  # SUBTRACT_GREEN
+        bw.bits(0, 1)  # no more transforms
+
+    stored = [
+        (p & 0xFF00FF00)
+        | (((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16)
+        | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+        for p in argb
+    ]
+    got = _webp_decode(_encode_vp8l(w, h, None, header_writer=sg_header,
+                                    tokens=[_lit(p) for p in stored]))
+    assert got == (w, h, _rgb_bytes(argb, w, h), 3)
+
+    # predictor: 16-px blocks, every mode 0..13 exercised across blocks
+    w2, h2 = 64, 28  # 4x2 blocks of 16 -> 8 blocks per image; two images
+    for mode_base in (0, 7):
+        modes = [(mode_base + i) % 14 for i in range(8)]
+        argb2 = _argb_image(w2, h2, seed=mode_base)
+        from cugraph_spark.pipelines.multimodal import _vp8l_predict
+
+        size_bits = 4
+        bwidth = (w2 + 15) >> 4
+        residual = [0] * (w2 * h2)
+        recon = [0] * (w2 * h2)
+        for y in range(h2):
+            for x in range(w2):
+                mode = modes[(y >> 4) * bwidth + (x >> 4)]
+                pred = _vp8l_predict(mode, recon, w2, x, y)
+                p = argb2[y * w2 + x]
+                recon[y * w2 + x] = p
+                residual[y * w2 + x] = (
+                    (((p >> 24) - (pred >> 24)) & 0xFF) << 24
+                    | ((((p >> 16) & 0xFF) - ((pred >> 16) & 0xFF)) & 0xFF) << 16
+                    | ((((p >> 8) & 0xFF) - ((pred >> 8) & 0xFF)) & 0xFF) << 8
+                    | ((p & 0xFF) - (pred & 0xFF)) & 0xFF
+                )
+
+        def pred_header(bw, modes=modes):
+            bw.bits(1, 1)
+            bw.bits(0, 2)  # PREDICTOR
+            bw.bits(size_bits - 2, 3)
+            _vp8l_emit_entropy_image(
+                bw, bwidth, 2, [_lit(0xFF000000 | (m << 8)) for m in modes]
+            )
+            bw.bits(0, 1)  # no more transforms
+
+        got = _webp_decode(_encode_vp8l(w2, h2, None, header_writer=pred_header,
+                                        tokens=[_lit(p) for p in residual]))
+        assert got == (w2, h2, _rgb_bytes(argb2, w2, h2), 3), f"modes {modes}"
+
+
+def test_vp8l_color_transform_and_palette():
+    """Cross-color transform and color-indexing (with sub-byte bundling)
+    invert exactly."""
+    from cugraph_spark.pipelines.multimodal import _vp8l_delta, _webp_decode
+
+    w, h = 10, 6
+    argb = _argb_image(w, h, seed=3)
+    g2r, g2b, r2b = 0x23, 0xE9, 0x5C  # mixed-sign int8 elements
+    cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    stored = []
+    for p in argb:
+        g = (p >> 8) & 0xFF
+        red = (p >> 16) & 0xFF
+        blue = p & 0xFF
+        sr = (red - _vp8l_delta(g2r, g)) & 0xFF
+        sb = (blue - _vp8l_delta(g2b, g) - _vp8l_delta(r2b, red)) & 0xFF
+        stored.append((p & 0xFF00FF00) | (sr << 16) | sb)
+
+    def ct_header(bw):
+        bw.bits(1, 1)
+        bw.bits(1, 2)  # COLOR transform
+        bw.bits(4 - 2, 3)  # 16-px blocks -> single block
+        _vp8l_emit_entropy_image(bw, 1, 1, [_lit(cte)])
+        bw.bits(0, 1)
+
+    got = _webp_decode(_encode_vp8l(w, h, None, header_writer=ct_header,
+                                    tokens=[_lit(p) for p in stored]))
+    assert got == (w, h, _rgb_bytes(argb, w, h), 3)
+
+    # 4-color palette -> 2-bit indices, 4 per byte (width_bits = 2)
+    pal = [0xFF102030, 0xFFFFEE00, 0xFF0080FF, 0xFF803060]
+    wp, hp = 10, 3
+    idx = [(x * 3 + y) % 4 for y in range(hp) for x in range(wp)]
+    argb_p = [pal[i] for i in idx]
+    packed_w = (wp + 3) >> 2
+    packed = []
+    for y in range(hp):
+        for px in range(packed_w):
+            v = 0
+            for k in range(4):
+                x = px * 4 + k
+                if x < wp:
+                    v |= idx[y * wp + x] << (2 * k)
+            packed.append(0xFF000000 | (v << 8))
+    # palette itself is delta-coded (per-component subtract mod 256)
+    deltas = [pal[0]] + [
+        sum(
+            ((((pal[i] >> sh) & 0xFF) - ((pal[i - 1] >> sh) & 0xFF)) & 0xFF) << sh
+            for sh in (0, 8, 16, 24)
+        )
+        for i in range(1, 4)
+    ]
+
+    def pal_header(bw):
+        bw.bits(1, 1)
+        bw.bits(3, 2)  # COLOR_INDEXING
+        bw.bits(3, 8)  # 4 colors
+        _vp8l_emit_entropy_image(bw, 4, 1, [_lit(d) for d in deltas])
+        bw.bits(0, 1)
+
+    got = _webp_decode(_encode_vp8l(wp, hp, None, header_writer=pal_header,
+                                    tokens=[_lit(p) for p in packed]))
+    assert got == (wp, hp, _rgb_bytes(argb_p, wp, hp), 3)
+
+
+def test_vp8l_meta_prefix_groups(spark):
+    """Meta prefix codes: two groups selected by the entropy image, each
+    with disjoint literal alphabets; plus the end-to-end mapInPandas
+    path reporting REAL webp format + pixel features."""
+    from cugraph_spark.pipelines.multimodal import (
+        _pixel_feature,
+        _webp_decode,
+        decode_images,
+    )
+
+    w, h = 8, 4
+    left = 0xFF00FF00  # pure green half
+    right = 0xFFFF0000  # pure red half
+    argb = [left if x < 4 else right for y in range(h) for x in range(w)]
+    meta = [("lit", 0, 0, 0, 0), ("lit", 0, 0, 1, 0)]  # groups 0, 1
+
+    got = _webp_decode(
+        _encode_vp8l(w, h, argb, meta_bits=2, meta_pixels=meta,
+                     group_of=lambda x, y: 0 if x < 4 else 1)
+    )
+    assert got == (w, h, _rgb_bytes(argb, w, h), 3)
+
+    webp = _encode_vp8l(w, h, argb)
+    df = spark.createDataFrame([(1, bytearray(webp))], "media_id long, payload binary")
+    out = decode_images(df).collect()[0]
+    assert (out["width"], out["height"], out["format"]) == (w, h, "webp")
+    assert out["feature"] == pytest.approx(
+        _pixel_feature(_rgb_bytes(argb, w, h), 3), abs=1e-6
+    )
+
+
+def test_vp8l_roundtrip_property():
+    """Property: random ARGB images of random shapes survive the
+    encode->decode round trip exactly, with and without a color cache
+    and subtract-green (hypothesis-driven)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cugraph_spark.pipelines.multimodal import _webp_decode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 8),
+        seed=st.integers(0, 2**31 - 1),
+        cache_bits=st.sampled_from([0, 3, 8]),
+        alpha=st.booleans(),
+        sub_green=st.booleans(),
+    )
+    def check(w, h, seed, cache_bits, alpha, sub_green):
+        import random
+
+        rng = random.Random(seed)
+        argb = [
+            ((rng.randrange(256) if alpha else 0xFF) << 24)
+            | (rng.randrange(256) << 16)
+            | (rng.randrange(256) << 8)
+            | rng.randrange(256)
+            for _ in range(w * h)
+        ]
+        if sub_green:
+            stored = [
+                (p & 0xFF00FF00)
+                | (((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16)
+                | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+                for p in argb
+            ]
+
+            def hdr(bw):
+                bw.bits(1, 1)
+                bw.bits(2, 2)
+                bw.bits(0, 1)
+
+            webp = _encode_vp8l(w, h, None, alpha_used=int(alpha),
+                                header_writer=hdr,
+                                tokens=[_lit(p) for p in stored],
+                                cache_bits=cache_bits)
+        else:
+            webp = _encode_vp8l(w, h, argb, alpha_used=int(alpha),
+                                cache_bits=cache_bits)
+        got = _webp_decode(webp)
+        assert got is not None
+        gw, gh, raster, nch = got
+        assert (gw, gh, nch) == (w, h, 4 if alpha else 3)
+        exp = bytearray()
+        for p in argb:
+            exp += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+            if alpha:
+                exp.append((p >> 24) & 0xFF)
+        assert raster == bytes(exp)
+
+    check()
