@@ -227,6 +227,11 @@ def _one_level(
     frontier_ok = n_edges is not None and n_edges > _FRONTIER_MIN_EDGES
     best_prev = None  # cached (vertex, community, _best, _gain, _curgain)
     affected = None  # None = recompute everyone (first pass)
+    # per-pass state swap rides the moves/gain agg: ONE Spark job per
+    # pass instead of checkpoint + agg (A/B'd neutral-to-positive here —
+    # the pass job is compute-dominated at fixture scale — and ~12% on
+    # the auction loop, whose sweeps are fixed-cost-bound)
+    swapper = iterloop.FusedSwap()
     for it in range(max_iter):
         if it == 0:
             # identity assignment: sigma == deg and community(v) == v, so
@@ -299,8 +304,6 @@ def _one_level(
             best = best.unionByName(
                 best_prev.join(hint(affected), "vertex", "left_anti")
             )
-        best = iterloop.materialize(best)
-        best_prev = best
 
         mv = (F.col("_best") != F.col("community")) & (
             F.col("_gain") > F.coalesce("_curgain", F.lit(0.0)) + 1e-12
@@ -310,12 +313,12 @@ def _one_level(
             mv = mv & (F.col("_best") < F.col("community"))
         else:
             mv = mv & (F.col("_best") > F.col("community"))
-        moved = best.filter(mv)
         # gain-based stop (cheap agg on the small moves set) replaces the
         # 2-extra-jobs-per-pass full modularity recomputation; ΔQ of the
-        # applied moves upper-bounds the modularity improvement scale
-        n_moves, gain_sum = iterloop.collect_scalars(
-            moved,
+        # applied moves upper-bounds the modularity improvement scale.
+        # The agg doubles as the state-swap materializer (FusedSwap).
+        best, (n_moves, gain_sum) = swapper.swap(
+            best,
             [
                 F.count("*"),
                 F.coalesce(
@@ -323,7 +326,10 @@ def _one_level(
                     F.lit(0.0),
                 ),
             ],
+            scalar_view=lambda d: d.filter(mv),
         )
+        best_prev = best
+        moved = best.filter(mv)
         if not n_moves or (gain_sum or 0.0) / two_m < threshold:
             break
         if it > 0 and n_moves <= n_verts_hint * _TAIL_MOVE_FRACTION:
@@ -381,6 +387,7 @@ def _one_level(
             iterloop.hint_state_join(canon, n_verts_hint), "community"
         ).select("vertex", F.col("_canon").alias("community"))
     assign = iterloop.materialize(assign)
+    swapper.close()  # assign is materialized; drop the best-state window
     q_final = (
         modularity_of(edges, assign, resolution, two_m=two_m) if compute_q else None
     )

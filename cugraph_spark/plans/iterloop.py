@@ -138,6 +138,49 @@ def materialize(df: DataFrame) -> DataFrame:
     return _strip_inherited_stats(df.localCheckpoint(eager=True))
 
 
+class FusedSwap:
+    """Per-iteration state swap that rides the iteration's own scalar-agg
+    job instead of paying a dedicated eager-checkpoint job.
+
+    ``materialize()`` + ``collect_scalars()`` is TWO fixed-cost Spark
+    rounds per pass. For loops whose per-pass data is tiny relative to
+    per-job fixed cost (louvain/leiden local-move passes on fixture-scale
+    graphs, auction sweeps over a task-sized state) the checkpoint job is
+    pure overhead: ``swap()`` local-checkpoints the new state with
+    ``eager=False`` — the plan becomes a ``LogicalRDD`` leaf IMMEDIATELY
+    (so multi-consumer loop bodies never re-nest prior generations; a
+    state referenced 3× per pass would otherwise grow the logical plan
+    3^N-fold) — and the caller's convergence aggregation is the single
+    action that materializes the checkpoint blocks. Plain ``persist()``
+    is NOT a substitute here: it reuses cached data but keeps the full
+    logical plan, and the exponential analysis blow-up was measured to
+    melt the auction loop within 3 sweeps.
+
+    Superseded generations' checkpoint blocks are freed by the
+    ContextCleaner when their DataFrames go out of scope on the driver —
+    the same lifecycle the eager ``materialize()`` swaps had.
+
+    In reliable-checkpoint mode (``SPARK_GRAFT_CHECKPOINT_DIR``) swap()
+    routes EVERY swap through ``materialize()`` — the old two-job path —
+    so cluster runs keep the full executor-loss recovery cadence; the
+    fused single-job path is the local-mode default.
+    """
+
+    def swap(self, df: DataFrame, exprs: Sequence[Column], scalar_view=None):
+        """Checkpoint ``df`` (lazily) and materialize it via one agg job
+        over ``scalar_view(df)`` (default ``df`` itself). Returns
+        (state, scalars)."""
+        if _reliable_dir() is not None:
+            df = materialize(df)  # reliable recovery cadence (eager)
+        else:
+            df = _strip_inherited_stats(df.localCheckpoint(eager=False))
+        src = scalar_view(df) if scalar_view is not None else df
+        return df, collect_scalars(src, exprs)
+
+    def close(self) -> None:
+        """Nothing to release: checkpoint blocks follow driver GC."""
+
+
 def collect_scalars(df: DataFrame, exprs: Sequence[Column]) -> tuple:
     """Run one aggregation job returning the given scalar expressions.
 

@@ -116,3 +116,61 @@ def test_long_loop_plan_stats_stay_bounded(spark):
     size = str(probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     assert len(size) < 200, f"plan stats compounding: sizeInBytes has {len(size)} digits"
     assert time.monotonic() - t0 < 120, "30-pass loop took >2min — analysis blowup"
+
+
+def test_fused_swap_single_job_and_reliable_mode(spark, karate_df, tmp_path, monkeypatch):
+    """FusedSwap must (1) keep plans leaf-shaped across many multi-
+    consumer swaps — a persisted chain would grow 3^N-fold and melt —
+    (2) return the same scalars/state as the two-job materialize path,
+    and (3) route through reliable checkpoints when the cluster knob is
+    set (louvain under SPARK_GRAFT_CHECKPOINT_DIR converges identically
+    and writes recoverable state)."""
+    from cugraph_spark import louvain
+    from cugraph_spark.plans.iterloop import FusedSwap
+
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+
+    # (1)+(2): an iterative loop that references its state THREE times
+    # per swap (the auction shape); 12 swaps must stay wall-bounded and
+    # produce the exact running values
+    state = spark.range(64).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    swapper = FusedSwap()
+    t0 = time.time()
+    for i in range(12):
+        bumped = state.select("k", (F.col("v") + 1).alias("v"))
+        joined = bumped.join(state.select(F.col("k"), F.col("v").alias("_old")), "k")
+        anti = bumped.join(state.filter(F.col("v") > 1e9), "k", "left_anti")
+        new = joined.join(anti.select("k"), "k").select("k", "v")
+        state, (n, vmax) = swapper.swap(new, [F.count("*"), F.max("v")])
+        assert (n, vmax) == (64, float(i + 1))
+    assert time.time() - t0 < 60, "fused swaps must not re-nest plan generations"
+    # leaf plan: the swapped state must not embed prior generations
+    assert "Scan ExistingRDD" in state._sc._jvm.PythonSQLUtils.explainString(
+        state._jdf.queryExecution(), "simple"
+    ) or "LogicalRDD" in state._jdf.queryExecution().analyzed().toString()
+    swapper.close()
+
+    # (3): louvain (a FusedSwap user) under the reliable knob
+    g = Graph(directed=False)
+    g.from_edgelist(karate_df, source="src", destination="dst", weight="weight")
+    base_parts, base_q = louvain(g)
+    base = sorted(tuple(r) for r in base_parts.collect())
+    ckdir = str(tmp_path / "fused_reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_EVERY", "1")
+    t_start = time.time()
+    rel_parts, rel_q = louvain(g)
+    assert sorted(tuple(r) for r in rel_parts.collect()) == base
+    assert rel_q == base_q
+    # the context keeps the FIRST checkpoint dir it was given (materialize
+    # only sets it when unset), so look for fresh recoverable state under
+    # whichever dir is active — ours when this test runs alone
+    active = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert not active.isEmpty()
+    active_path = str(active.get()).removeprefix("file:")
+    written = []
+    for root, _dirs, files in os.walk(active_path):
+        for f in files:
+            if os.path.getmtime(os.path.join(root, f)) >= t_start - 1:
+                written.append(f)
+    assert written, f"no fresh reliable checkpoint files under {active_path}"
