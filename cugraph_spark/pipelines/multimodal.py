@@ -1362,12 +1362,14 @@ def _vp8l_clamp_add_sub_half(ab: int, c: int) -> int:
 
 
 def _vp8l_select(left: int, top: int, top_left: int) -> int:
+    # Spec (RFC 9649 §4.4.1) / libwebp: ties go to TOP ("if pL < pT
+    # return L; else return T"; libwebp: pa_minus_pb <= 0 ? top : left).
     p_l = p_t = 0
     for sh in (0, 8, 16, 24):
         p = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((top_left >> sh) & 0xFF)
         p_l += abs(p - ((left >> sh) & 0xFF))
         p_t += abs(p - ((top >> sh) & 0xFF))
-    return left if p_l <= p_t else top
+    return left if p_l < p_t else top
 
 
 def _vp8l_predict(mode: int, px, w: int, x: int, y: int) -> int:
@@ -1450,26 +1452,31 @@ def _vp8l_inverse_transforms(px: list[int], transforms, w: int, h: int):
                 blue = ((p & 0xFF) + g) & 0xFF
                 px[i] = (p & 0xFF00FF00) | (red << 16) | blue
         elif ttype == 1:  # COLOR (cross-color) inverse
+            # The image is at this transform's coded width when its
+            # inverse runs (w_at_read, NOT the full-resolution w — they
+            # differ when COLOR_INDEXING with bundling was read first).
+            cw = w_at_read
             size_bits, sub = p1, p2
-            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bw = (cw + (1 << size_bits) - 1) >> size_bits
             for y in range(h):
-                for x in range(w):
+                for x in range(cw):
                     cte = sub[(y >> size_bits) * bw + (x >> size_bits)]
                     g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
-                    p = px[y * w + x]
+                    p = px[y * cw + x]
                     g = (p >> 8) & 0xFF
                     red = (((p >> 16) & 0xFF) + _vp8l_delta(g2r, g)) & 0xFF
                     blue = ((p & 0xFF) + _vp8l_delta(g2b, g) + _vp8l_delta(r2b, red)) & 0xFF
-                    px[y * w + x] = (p & 0xFF00FF00) | (red << 16) | blue
-        elif ttype == 0:  # PREDICTOR inverse
+                    px[y * cw + x] = (p & 0xFF00FF00) | (red << 16) | blue
+        elif ttype == 0:  # PREDICTOR inverse (coded width, see above)
+            cw = w_at_read
             size_bits, sub = p1, p2
-            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bw = (cw + (1 << size_bits) - 1) >> size_bits
             for y in range(h):
-                for x in range(w):
+                for x in range(cw):
                     mode = (sub[(y >> size_bits) * bw + (x >> size_bits)] >> 8) & 0xFF
-                    pred = _vp8l_predict(mode, px, w, x, y)
-                    p = px[y * w + x]
-                    px[y * w + x] = (
+                    pred = _vp8l_predict(mode, px, cw, x, y)
+                    p = px[y * cw + x]
+                    px[y * cw + x] = (
                         (((p >> 24) + (pred >> 24)) & 0xFF) << 24
                         | ((((p >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF) << 16
                         | ((((p >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
@@ -1508,7 +1515,11 @@ def _webp_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
         px, w2 = _vp8l_inverse_transforms(px, transforms, w, h)
         if w2 != w or len(px) != w * h:
             return None
-        nch = 4 if alpha_used else 3
+        # alpha_is_used is a spec-designated HINT that "should not impact
+        # decoding" — emit alpha whenever the hint is set OR the decoded
+        # pixels actually carry a non-opaque value, so meaningful alpha
+        # with the hint unset is never silently flattened.
+        nch = 4 if (alpha_used or any((p >> 24) & 0xFF != 0xFF for p in px)) else 3
         out = bytearray(w * h * nch)
         for i, p in enumerate(px):
             out[i * nch] = (p >> 16) & 0xFF
