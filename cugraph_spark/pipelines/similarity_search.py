@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..plans import iterloop
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -192,9 +194,12 @@ def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
     train = c
     if n > train_cap:
         mod = -(-n // train_cap)  # ceil: keeps the sample at <= ~train_cap
-        train = c.filter(
-            F.pmod(F.xxhash64("vec_id", F.lit(seed + 1)), F.lit(mod)) == 0
-        ).localCheckpoint(eager=True)
+        # freeze (not bare localCheckpoint): the sample is consumed by
+        # every kmeans pass, so a lost executor block must be recoverable
+        # from reliable storage when the cluster knob is set
+        train = iterloop.freeze(
+            c.filter(F.pmod(F.xxhash64("vec_id", F.lit(seed + 1)), F.lit(mod)) == 0)
+        )
     cent = (
         train.orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
         .limit(n_lists)
@@ -220,7 +225,7 @@ def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
         cent = cent.join(upd, "list_id", "left").select(
             "list_id", F.coalesce("_new", "_ctr").alias("_ctr")
         )
-        cent = cent.localCheckpoint(eager=True)  # tiny; keeps loop plans O(1)
+        cent = iterloop.materialize(cent)  # tiny; keeps loop plans O(1)
     return cent
 
 

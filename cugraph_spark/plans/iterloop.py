@@ -161,6 +161,29 @@ def materialize(df: DataFrame, seq: int | None = None) -> DataFrame:
     return _strip_inherited_stats(df.localCheckpoint(eager=True))
 
 
+def freeze(df: DataFrame) -> DataFrame:
+    """Pin a one-shot computation's result for the rest of the app.
+
+    For tables that are (a) layout-dependent (``zipWithIndex`` id maps —
+    a recompute could assign different ids) or (b) long-lived loop
+    inputs, ``localCheckpoint`` alone is a fault-tolerance hole: it
+    TRUNCATES lineage, so losing the executor that holds the blocks is
+    unrecoverable even when the data were deterministic. Unlike
+    ``materialize`` this is NOT cadenced — with the reliable knob set the
+    freeze always goes to checkpoint-dir storage, because a frozen table
+    (e.g. the renumbering map consumed by the final unrenumber) stays
+    live to the end of the job and an executor loss at ANY later point
+    would otherwise void it.
+    """
+    ckdir = _reliable_dir()
+    if ckdir is not None:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckdir)
+        return _strip_inherited_stats(df.checkpoint(eager=True))
+    return _strip_inherited_stats(df.localCheckpoint(eager=True))
+
+
 class FusedSwap:
     """Per-iteration state swap that rides the iteration's own scalar-agg
     job instead of paying a dedicated eager-checkpoint job.

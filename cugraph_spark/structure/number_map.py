@@ -22,6 +22,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..plans import iterloop
+
 _INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 INTERNAL = "_internal_id"
@@ -102,7 +104,11 @@ class NumberMap:
             [f for f in verts.schema.fields] + [T.StructField(INTERNAL, T.LongType(), False)]
         )
         map_df = verts.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1])).toDF(schema)
-        map_df = map_df.localCheckpoint(eager=True)  # freeze ids (zipWithIndex is layout-dependent)
+        # freeze ids (zipWithIndex is layout-dependent; a recompute after
+        # executor loss could permute them) — reliable storage when the
+        # cluster knob is set, since the map is consumed again by the
+        # final unrenumber
+        map_df = iterloop.freeze(map_df)
 
         fields = {f.name: f.dataType for f in verts.schema.fields}
         nm = NumberMap(map_df, ext_names, [fields[n] for n in ext_names], identity=False)
