@@ -193,7 +193,9 @@ def load_graph(spark: SparkSession, path: str):
     )
 
 
-def save_graph_table(G, name: str, num_buckets: int = 0, mode: str = "error") -> None:
+def save_graph_table(
+    G, name: str, num_buckets: int = 0, mode: str = "error", path: Optional[str] = None
+) -> None:
     """Bucketed-table graph sink: edges are written with
     ``bucketBy(num_buckets, src).sortBy(src, dst)`` so a reloaded graph
     is ALREADY hash-partitioned and sorted on src — ``load_graph_table``
@@ -206,19 +208,36 @@ def save_graph_table(G, name: str, num_buckets: int = 0, mode: str = "error") ->
     bucketing metadata lives in the catalog, not the parquet footer —
     the reason this is a separate entry point from the path-based
     save_graph). ``num_buckets`` defaults to the cached edge partition
-    count."""
+    count.
+
+    ``path``: optional EXTERNAL location. Without it the tables live in
+    the session's warehouse dir and (under the default in-memory
+    catalog) their metadata dies with the session. With it each
+    sub-table is written under ``path/<suffix>`` plus a ``_catalog.json``
+    holding the schema DDL and bucket spec, so a FRESH session can adopt
+    the same bucketed layout via :func:`register_graph_table` — the
+    cross-process graph cache shape (build shuffle paid once, ever)."""
     spark = G.edgelist.sparkSession
     nb = num_buckets or G.edgelist.rdd.getNumPartitions()
-    (
-        G.edgelist.write.mode(mode)
-        .bucketBy(nb, SRC)
-        .sortBy(SRC, DST)
-        .saveAsTable(f"{name}_edges")
-    )
-    G.vertices_internal.write.mode(mode).saveAsTable(f"{name}_vertices")
+
+    def _write(df, suffix, bucketed=False):
+        w = df.write.mode(mode)
+        if bucketed:
+            w = w.bucketBy(nb, SRC).sortBy(SRC, DST)
+        if path is not None:
+            w = w.option("path", os.path.join(path, suffix))
+        w.saveAsTable(f"{name}_{suffix}")
+        return {
+            "suffix": suffix,
+            "ddl": df._jdf.schema().toDDL(),
+            "buckets": nb if bucketed else 0,
+        }
+
+    tables = [_write(G.edgelist, "edges", bucketed=True)]
+    tables.append(_write(G.vertices_internal, "vertices"))
     nm = G._nm
     if nm.map_df is not None:
-        nm.map_df.write.mode(mode).saveAsTable(f"{name}_vertex_map")
+        tables.append(_write(nm.map_df, "vertex_map"))
     p = G.properties
     meta = {
         "directed": p.directed,
@@ -233,9 +252,41 @@ def save_graph_table(G, name: str, num_buckets: int = 0, mode: str = "error") ->
         "external_cols": list(nm.external_cols),
         "external_types": [t.simpleString() for t in nm.external_types],
     }
-    spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
-        mode
-    ).saveAsTable(f"{name}_properties")
+    props = spark.createDataFrame([(json.dumps(meta),)], "meta string")
+    tables.append(_write(props, "properties"))
+    if path is not None:
+        # commit marker: written LAST so a crashed save is never adopted
+        with open(os.path.join(path, "_catalog.json"), "w") as f:
+            json.dump({"tables": tables}, f)
+
+
+def register_graph_table(spark: SparkSession, name: str, path: str) -> bool:
+    """Adopt the external tables written by ``save_graph_table(...,
+    path=...)`` into THIS session's catalog (the default in-memory
+    catalog forgets tables between processes; the files and their
+    bucketed layout persist). Returns False when no committed save
+    exists at ``path``. Spark re-derives bucket ids from the file names
+    it wrote, so the re-registered edge table keeps the zero-shuffle
+    src-join property."""
+    cat = os.path.join(path, "_catalog.json")
+    if not os.path.exists(cat):
+        return False
+    with open(cat) as f:
+        tables = json.load(f)["tables"]
+    for t in tables:
+        tbl = f"{name}_{t['suffix']}"
+        if spark.catalog.tableExists(tbl):
+            continue
+        bucket = (
+            f"CLUSTERED BY ({SRC}) SORTED BY ({SRC}, {DST}) INTO {t['buckets']} BUCKETS "
+            if t["buckets"]
+            else ""
+        )
+        loc = os.path.join(os.path.abspath(path), t["suffix"])
+        spark.sql(
+            f"CREATE TABLE {tbl} ({t['ddl']}) USING parquet {bucket}LOCATION '{loc}'"
+        )
+    return True
 
 
 def load_graph_table(spark: SparkSession, name: str):

@@ -19,6 +19,7 @@ that is written ONCE here as a DuckDB CTE string and mirrored in Spark.
 
 from __future__ import annotations
 
+import glob
 import os
 import sys
 from typing import Callable
@@ -139,9 +140,42 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Fixture graphs are shared read-only by many registry queries; rebuilding
 # (join + distinct + self-join) per query dominates small-SF contract wall
-# time. Memoize per (builder, args, Spark application) — algorithms treat
-# G as immutable, and a new session invalidates the cache.
+# time. Two cache layers:
+#
+# 1. in-memory memo per (builder, args, Spark application) — algorithms
+#    treat G as immutable, and a new session invalidates the cache;
+# 2. an on-disk BUCKETED-table cache (r5 verdict #4) under
+#    spark-warehouse/fixcache keyed by a hash of (builder source, sf_dir,
+#    args, testdata file mtimes/sizes) — a COLD process adopts the saved
+#    zero-shuffle layout via sources.register_graph_table instead of
+#    re-running the fixture's join+distinct+self-join (leiden/louvain's
+#    8.4 s cold fixture tax). A changed builder or regenerated testdata
+#    changes the key, and stale-keyed entries for the same builder are
+#    dropped on save. SPARK_GRAFT_FIXTURE_CACHE=0 disables the disk layer.
 _GRAPH_CACHE: dict = {}
+
+_FIXCACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "fixcache"
+)
+
+
+def _fixture_key(fn, sf_dir: str, args, kwargs) -> tuple[str, str]:
+    """(variant_tag, content_key). The tag identifies WHICH fixture
+    (builder + call args) and prefixes the cache entry name, so two
+    variants of one builder (e.g. cust_supp_graph sparse=True/False)
+    never evict each other; the content key identifies WHAT it was built
+    from (builder source + testdata signature) — a mismatch there means
+    the entry is stale and must be rebuilt."""
+    import hashlib
+    import inspect
+
+    tag_sig = repr((args, sorted(kwargs.items())))
+    tag = hashlib.sha1(tag_sig.encode()).hexdigest()[:6]
+    sig = [inspect.getsource(fn), os.path.abspath(sf_dir), tag_sig]
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        sig.append(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size}")
+    return tag, hashlib.sha1("|".join(sig).encode()).hexdigest()[:16]
 
 
 def _graph_memo(fn):
@@ -159,11 +193,41 @@ def _graph_memo(fn):
         key = (fn.__name__, sf_dir, args, tuple(sorted(kwargs.items())), app_id)
         g = _GRAPH_CACHE.get(key)
         if g is None:
-            g = fn(spark, sf_dir, *args, **kwargs)
+            g = _disk_cached_build(fn, spark, sf_dir, args, kwargs)
             _GRAPH_CACHE[key] = g
         return g
 
     return wrapped
+
+
+def _disk_cached_build(fn, spark: SparkSession, sf_dir: str, args, kwargs):
+    if os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", "1") == "0":
+        return fn(spark, sf_dir, *args, **kwargs)
+    import shutil
+
+    from cugraph_spark.sources import load_graph_table, register_graph_table, save_graph_table
+
+    tag, key = _fixture_key(fn, sf_dir, args, kwargs)
+    name = f"fixcache_{fn.__name__}_{tag}_{key}"
+    path = os.path.join(_FIXCACHE_DIR, name)
+    try:
+        if register_graph_table(spark, name, path):
+            return load_graph_table(spark, name)
+    except Exception:
+        pass  # unreadable/corrupt cache entry: fall through and rebuild
+    g = fn(spark, sf_dir, *args, **kwargs)
+    # drop stale-keyed entries for this builder VARIANT (changed builder
+    # source or regenerated testdata; other variants keep theirs)
+    prefix = f"fixcache_{fn.__name__}_{tag}_"
+    for d in glob.glob(os.path.join(_FIXCACHE_DIR, prefix + "*")):
+        if os.path.basename(d) != name:
+            shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+        save_graph_table(g, name, mode="overwrite", path=path)
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)  # never adopt a partial save
+    return g
 
 
 @_graph_memo

@@ -15,10 +15,11 @@ own pytest-bench counts triangles at scale-20
 (benchmarks/cugraph/pytest-based/bench_algos.py), "betweenness" (k=10
 sampled sources, the reference pytest-bench's own scale-20 shape),
 "ktruss", "neighbor_sample" (2-hop fanout [10,25] over 1024 batched
-seeds, the reference bulk-sampler shape), and "louvain3", three
+seeds, the reference bulk-sampler shape), "louvain3", three
 synchronous local-move passes of the level-0 louvain loop, the
 shuffle-heaviest non-traversal pattern: per-pass edge-sized
-groupBy(vertex, community)).
+groupBy(vertex, community), and "scc" (multi-pivot coloring over the
+directed R-MAT edges — the reference's hardest component)).
 Prints one JSON line per scale.
 """
 
@@ -118,6 +119,28 @@ for scale in scales:
         sub = ktruss_subgraph(g, k=10)
         res["ktruss_edges"] = sub.edges().filter(F.col("src") < F.col("dst")).count()
         res["ktruss"] = round(time.time() - t0, 1)
+
+    if "scc" in ops:
+        # The reference marks SCC as its hardest component
+        # (cpp/src/components/strongly_connected_components_impl.cuh,
+        # 2386 LoC); ours is the multi-pivot coloring loop — the last
+        # doubly-iterative op to get scale rows (r5 verdict #3). R-MAT
+        # edges interpreted as DIRECTED: one giant SCC core plus a long
+        # tail of singleton/small components, so both the coloring inner
+        # loop and the shatter-and-shrink outer loop do real rounds.
+        from cugraph_spark import strongly_connected_components
+        from cugraph_spark.components import connectivity as _conn
+
+        gd = Graph(directed=True)
+        gd.from_edgelist(edges, "src", "dst", weight="weight")
+        t0 = time.time()
+        res["scc_components"] = strongly_connected_components(gd).agg(
+            F.countDistinct("labels")
+        ).collect()[0][0]
+        res["scc"] = round(time.time() - t0, 1)
+        res["scc_rounds"] = getattr(_conn, "_last_scc_stats", None)
+        gd.edgelist.unpersist()
+        gd.vertices_internal.unpersist()
 
     if "betweenness" in ops:
         # The reference's own pytest-bench runs betweenness_centrality

@@ -119,6 +119,97 @@ def test_save_load_graph_table_bucketed(spark, tmp_path):
             shutil.rmtree(f"spark-warehouse/{name}_{suffix}", ignore_errors=True)
 
 
+def test_register_graph_table_cross_session(spark, tmp_path):
+    """save_graph_table(path=...) + register_graph_table must restore the
+    bucketed zero-shuffle layout in a session whose in-memory catalog has
+    never seen the tables — the cross-process fixture-cache shape. A
+    dropped catalog simulates the fresh session (the files persist)."""
+    import uuid
+
+    from cugraph_spark.sources import (
+        load_graph_table,
+        register_graph_table,
+        save_graph_table,
+    )
+
+    df = spark.createDataFrame(EDGES, ["src", "dst", "weight"])
+    g = Graph(directed=True)
+    g.from_edgelist(df, "src", "dst", weight="weight")
+    name = f"ext_graph_{uuid.uuid4().hex[:8]}"
+    path = str(tmp_path / "extgraph")
+    try:
+        # no committed save yet -> register declines
+        assert register_graph_table(spark, name, path) is False
+        save_graph_table(g, name, num_buckets=4, path=path)
+        # simulate a fresh session: drop every catalog entry, keep files
+        for suffix in ("edges", "vertices", "vertex_map", "properties"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        assert not spark.catalog.tableExists(f"{name}_edges")
+        assert register_graph_table(spark, name, path) is True
+        _assert_table_roundtrip(spark, g, name)
+    finally:
+        for suffix in ("edges", "vertices", "vertex_map", "properties"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+
+
+def test_fixture_disk_cache_hit_and_stale_rebuild(spark, tmp_path, monkeypatch):
+    """queries_registry's disk fixture cache: a second build with the same
+    key ADOPTS the saved bucketed tables (no rebuild); a changed key
+    (stale testdata signature) drops the old entry and rebuilds."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import queries_registry as qr
+
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_CACHE", "1")
+    monkeypatch.setattr(qr, "_FIXCACHE_DIR", str(tmp_path / "fixcache"))
+
+    calls = {"n": 0}
+
+    def builder(spark_, sf_dir_):
+        calls["n"] += 1
+        df = spark_.createDataFrame(EDGES, ["src", "dst", "weight"])
+        g = Graph(directed=True)
+        g.from_edgelist(df, "src", "dst", weight="weight")
+        return g
+
+    builder.__name__ = "probe_fixture"
+    keys = iter([("va", "k1"), ("va", "k1"), ("vb", "k9"), ("va", "k2")])
+    monkeypatch.setattr(qr, "_fixture_key", lambda *a, **k: next(keys))
+
+    g1 = qr._disk_cached_build(builder, spark, "unused", (), {})
+    assert calls["n"] == 1
+    import os
+
+    base = str(tmp_path / "fixcache")
+    entry1 = os.path.join(base, "fixcache_probe_fixture_va_k1")
+    assert os.path.exists(os.path.join(entry1, "_catalog.json"))
+
+    # same key -> disk hit, builder NOT called, same results
+    g2 = qr._disk_cached_build(builder, spark, "unused", (), {})
+    assert calls["n"] == 1
+    assert g2.number_of_edges() == g1.number_of_edges()
+    assert sorted(map(tuple, g2.edgelist.collect())) == sorted(
+        map(tuple, g1.edgelist.collect())
+    )
+
+    # a DIFFERENT variant of the same builder must NOT evict variant va
+    qr._disk_cached_build(builder, spark, "unused", (), {})
+    assert calls["n"] == 2
+    assert os.path.exists(entry1)
+
+    # changed content key for variant va (stale) -> rebuild, old va entry
+    # dropped, vb untouched
+    qr._disk_cached_build(builder, spark, "unused", (), {})
+    assert calls["n"] == 3
+    assert not os.path.exists(entry1)
+    assert os.path.exists(os.path.join(base, "fixcache_probe_fixture_va_k2", "_catalog.json"))
+    assert os.path.exists(os.path.join(base, "fixcache_probe_fixture_vb_k9", "_catalog.json"))
+    for tagkey in ("va_k1", "va_k2", "vb_k9"):
+        for suffix in ("edges", "vertices", "vertex_map", "properties"):
+            spark.sql(f"DROP TABLE IF EXISTS fixcache_probe_fixture_{tagkey}_{suffix}")
+
+
 def _assert_table_roundtrip(spark, g, name):
     from cugraph_spark import pagerank
     from cugraph_spark.sources import load_graph_table
