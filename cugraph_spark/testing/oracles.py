@@ -554,10 +554,12 @@ def mst_oracle_sql(
 
     Mirrors tree/minimum_spanning_tree.py: per round each component
     picks its minimum cross-component edge under the total order
-    (weight, src, dst, neighbor-component) — deterministic even with
-    weight ties — then components merge by min-label propagation over
-    the picked pairs. Both loops are unrolled with margin; converged
-    rounds/iterations are no-ops."""
+    (weight, least(src,dst), greatest(src,dst), neighbor-component) —
+    the key identifies the undirected edge independent of orientation,
+    which is what makes equal-weight pick cycles impossible — then
+    components merge by min-label propagation over the picked pairs.
+    Both loops are unrolled with margin; converged rounds/iterations
+    are no-ops."""
     defs = [
         edges_cte.strip().strip(","),
         f"mst_comp0 AS MATERIALIZED (SELECT vertex, vertex AS comp FROM (SELECT src AS vertex FROM {edges_name} UNION SELECT dst FROM {edges_name}))",
@@ -573,7 +575,8 @@ def mst_oracle_sql(
         )
         defs.append(
             f"mst_pick{r} AS MATERIALIZED (SELECT a, b, src, dst, w FROM mst_x{r}"
-            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY w, src, dst, b) = 1)"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY a"
+            f" ORDER BY w, LEAST(src, dst), GREATEST(src, dst), b) = 1)"
         )
         new_selects.append(
             f"SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst, ABS(w) AS weight"

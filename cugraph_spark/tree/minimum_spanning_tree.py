@@ -4,8 +4,9 @@ Reference: tree/minimum_spanning_tree.py:67,106 (returns a Graph), legacy
 cpp/src/tree/legacy/mst.cu.
 
 Spark mapping (SURVEY §2.A): IterLoop Borůvka — per component pick the
-minimum outgoing edge (``groupBy(component).min(struct(w, src, dst))``,
-total order breaks weight ties deterministically), add to forest, merge
+minimum outgoing edge (``groupBy(component).min(struct(w, least(src,dst),
+greatest(src,dst)))`` — the tie-break key must identify the UNDIRECTED
+edge so equal-weight picks cannot cycle), add to forest, merge
 components by propagating min labels over the chosen merge edges until
 stable (the merge graph has <= one edge per component, so this inner
 fixpoint is tiny). O(log V) outer rounds.
@@ -51,9 +52,30 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
             )
             .filter(F.col("_cs") != F.col("_cd"))
         )
+        # Tie-break on (weight, least, greatest): the key must identify the
+        # UNDIRECTED edge, independent of orientation. The previous
+        # (weight, src, dst) key gave each undirected edge two different
+        # keys (one per direction in the symmetrized table), so three
+        # components with equal-weight edges could pick A->B->C->A and add
+        # a cycle to the forest — first observed at sf0.1 where the
+        # integer quantity weights tie heavily. With an orientation-free
+        # globally-unique key the classic Boruvka argument holds: a pick
+        # cycle's keys are non-increasing around the cycle, so all equal,
+        # so it is the same edge picked mutually (merged by the dedup).
         pick = (
             e.groupBy("_cs")
-            .agg(F.min(F.struct("_w", SRC, DST, "_cd")).alias("_m"))
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("_w"),
+                        F.least(SRC, DST).alias("_lo"),
+                        F.greatest(SRC, DST).alias("_hi"),
+                        F.col(SRC),
+                        F.col(DST),
+                        F.col("_cd"),
+                    )
+                ).alias("_m")
+            )
             .select(
                 F.col("_cs"),
                 F.col("_m._w").alias("_w"),

@@ -3086,8 +3086,14 @@ def q_fa2_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-trajectory-dependent, so force_atlas2_nation stays rows-only):
     full vertex coverage, every coordinate finite, bit-identical output
     across two runs (the layout draws all randomness from seeded
-    xxhash64), and — with prevent_overlapping + unit radii — no final
-    pair closer than the radii sum minus float slack."""
+    xxhash64), and — with prevent_overlapping + unit radii — the layout
+    SEPARATES (no pair closer than the radii sum minus float slack)
+    within a bounded, escalating iteration budget. A fixed budget is
+    sf-dependent (8 iterations separates the sf0.01 nation layout but
+    leaves residual overlap under sf0.1's heavier flow weights — found by
+    the r6 full-contract run at sf0.1), so the invariant pins the real
+    FA2 property: overlap resolution converges, within 64 iterations,
+    at every fixture scale."""
     from cugraph_spark import force_atlas2
     from cugraph_spark.structure.graph import Graph
 
@@ -3095,16 +3101,17 @@ def q_fa2_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(directed=True)
     g.from_edgelist(e, "src", "dst", weight="weight")
     radii = g.nodes().select(F.col("vertex"), F.lit(1.0).alias("radius"))
-    kw = dict(
-        # 8 iterations is the measured minimum for prevent_overlapping to
-        # fully separate the 25-vertex layout (6 leaves residual overlap)
-        max_iter=8,
-        barnes_hut_optimize=False,
-        prevent_overlapping=True,
-        vertex_radius=radii,
-    )
-    p1 = force_atlas2(g, **kw).persist()
-    p2 = force_atlas2(g, **kw)
+
+    def kw(iters):
+        return dict(
+            max_iter=iters,
+            barnes_hut_optimize=False,
+            prevent_overlapping=True,
+            vertex_radius=radii,
+        )
+
+    p1 = force_atlas2(g, **kw(8)).persist()
+    p2 = force_atlas2(g, **kw(8))
     n_vertices = p1.count()
     finite = (
         p1.filter(F.isnan("x") | F.isnan("y") | ~F.col("x").between(-1e12, 1e12)
@@ -3115,17 +3122,25 @@ def q_fa2_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("x") != F.col("x2")) | (F.col("y") != F.col("y2")))
         .count()
     )
-    a = p1.select(F.col("vertex").alias("va"), F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = p1.select(F.col("vertex").alias("vb"), F.col("x").alias("xb"), F.col("y").alias("yb"))
-    overlaps = (
-        a.join(b, F.col("va") < F.col("vb"))
-        .filter(
-            F.sqrt(F.pow(F.col("xa") - F.col("xb"), 2) + F.pow(F.col("ya") - F.col("yb"), 2))
-            < F.lit(2.0 - 1e-6)
+
+    def overlap_count(p):
+        a = p.select(F.col("vertex").alias("va"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+        b = p.select(F.col("vertex").alias("vb"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+        return (
+            a.join(b, F.col("va") < F.col("vb"))
+            .filter(
+                F.sqrt(F.pow(F.col("xa") - F.col("xb"), 2) + F.pow(F.col("ya") - F.col("yb"), 2))
+                < F.lit(2.0 - 1e-6)
+            )
+            .count()
         )
-        .count()
-    )
+
+    overlaps = overlap_count(p1)
     p1.unpersist()
+    for iters in (16, 32, 64):
+        if overlaps == 0:
+            break
+        overlaps = overlap_count(force_atlas2(g, **kw(iters)))
     return spark.createDataFrame(
         [(n_vertices, bool(finite), bool(diff == 0), bool(overlaps == 0))],
         "n_vertices long, all_finite boolean, deterministic boolean, no_overlap boolean",

@@ -22,6 +22,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 def duck_con(sf_dir: str):
     con = duckdb.connect()
+    # Out-of-core settings for the sf0.1 contract (r6): the unrolled
+    # iterative oracles hold every materialized CTE of a WITH alive at
+    # once (30 pagerank iterations x edge-sized joins), which exceeds the
+    # in-memory budget at 10x fixture scale — a temp_directory lets
+    # DuckDB spill instead of raising OutOfMemoryException.
+    con.execute("SET temp_directory='/tmp/duckdb_contract_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '48GB')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -86,6 +86,41 @@ def test_mst_line_and_random(spark):
     assert sum(r["weight"] for r in got_edges) == pytest.approx(want_total)
 
 
+def test_mst_equal_weight_ties_cannot_cycle(spark):
+    """Regression (found by the r6 full-contract run at sf0.1): Boruvka's
+    tie-break key must identify the UNDIRECTED edge. The old
+    (weight, src, dst) key gave each edge two keys (one per orientation),
+    and this 6-vertex graph makes round-2 components pick A->B->C->A
+    among three equal-weight edges — a cycle in the forest (6 edges for
+    6 vertices). The orientation-free (weight, least, greatest) key picks
+    {0,9} mutually and yields a true 5-edge MST of weight 2."""
+    rows = [
+        (0, 7, 0.0), (9, 1, 0.0), (8, 2, 0.0),  # round-1 pair merges
+        (0, 9, 1.0), (1, 8, 1.0), (2, 7, 1.0),  # equal-weight triangle of components
+    ]
+    g = Graph(directed=False)
+    g.from_edgelist(
+        spark.createDataFrame(rows, ["src", "dst", "weight"]), "src", "dst", weight="weight"
+    )
+    t = minimum_spanning_tree(g)
+    got = t.edges().filter(F.col("src") < F.col("dst")).collect()
+    assert len(got) == 5  # 6 vertices, 1 component -> exactly V-1 edges
+    assert sum(r["weight"] for r in got) == pytest.approx(2.0)
+    # acyclic by union-find
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in got:
+        a, b = find(r["src"]), find(r["dst"])
+        assert a != b, f"cycle-closing edge {r}"
+        parent[a] = b
+
+
 def test_maximum_spanning_tree(spark):
     rows = [(0, 1, 1.0), (1, 2, 5.0), (0, 2, 2.0)]
     g = Graph(directed=False)
