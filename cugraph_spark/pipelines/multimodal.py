@@ -18,7 +18,8 @@ this container):
   dequant/IDCT/upsample/YCbCr, incl. 4:2:0/4:2:2 and restart markers)
   AND progressive (SOF2: spectral-selection band scans with EOBn runs
   + successive-approximation DC/AC refinement bit scans, G.1.2.3) —
-  and GIF (variable-width LZW + palette + deinterlace, first frame),
+  and GIF (variable-width LZW + palette + deinterlace; animated GIFs
+  get full GIF89a frame compositing on the video path),
   WEBP lossless (full VP8L bitstream: canonical prefix codes, meta
   prefix groups, LZ77 + color cache, predictor / cross-color /
   subtract-green / color-indexing transforms with pixel bundling),
@@ -1022,6 +1023,117 @@ def _gif_decode(raw: bytes) -> Optional[tuple[int, int, bytes, int]]:
     return None
 
 
+def _gif_frames(raw: bytes, max_frames: int = 1) -> tuple[list[tuple[int, int, bytes, int]], float]:
+    """REAL animated-GIF frame extraction (GIF87a/89a): every frame is
+    composited onto the logical-screen canvas with full GIF89a animation
+    semantics — frame rects at (x, y) offsets, per-frame transparency
+    index, and disposal methods 1 (keep), 2 (restore to background) and
+    3 (restore to previous). Returns (frames, duration_s): up to
+    ``max_frames`` full-canvas (w, h, rgb_bytes, 3) rasters in display
+    order, plus the animation's total delay summed over ALL graphic
+    control extensions (the remaining frames are scanned for timing
+    without paying their LZW decode). This is the engine's video-frame
+    path for the one animation format stdlib can fully decode."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return [], 0.0
+    frames: list[tuple[int, int, bytes, int]] = []
+    total_delay = 0.0
+    try:
+        cw, ch = struct.unpack("<HH", raw[6:10])
+        flags = raw[10]
+        bg_idx = raw[11]
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = raw[i : i + 3 * n]
+            i += 3 * n
+        if not cw or not ch:
+            return [], 0.0
+        bg = (
+            bytes(gct[bg_idx * 3 : bg_idx * 3 + 3])
+            if gct is not None and bg_idx * 3 + 3 <= len(gct)
+            else b"\x00\x00\x00"
+        )
+        canvas = bytearray(bg * (cw * ch))
+        disposal, trans_idx = 0, None
+        while i < len(raw):
+            b = raw[i]
+            if b == 0x21:  # extension
+                label = raw[i + 1]
+                i += 2
+                if label == 0xF9 and i < len(raw) and raw[i] >= 4:
+                    blk = raw[i + 1 : i + 1 + raw[i]]
+                    disposal = (blk[0] >> 2) & 0x7
+                    total_delay += struct.unpack("<H", blk[1:3])[0] / 100.0
+                    trans_idx = blk[3] if blk[0] & 1 else None
+                while i < len(raw) and raw[i]:
+                    i += 1 + raw[i]
+                i += 1
+            elif b == 0x2C:  # image descriptor
+                x, y, w, h = struct.unpack("<HHHH", raw[i + 1 : i + 9])
+                iflags = raw[i + 9]
+                i += 10
+                pal = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    pal = raw[i : i + 3 * n]
+                    i += 3 * n
+                min_code = raw[i]
+                i += 1
+                data = bytearray()
+                while i < len(raw) and raw[i]:
+                    sz = raw[i]
+                    data += raw[i + 1 : i + 1 + sz]
+                    i += 1 + sz
+                i += 1  # block terminator
+                if len(frames) >= max_frames:
+                    disposal, trans_idx = 0, None
+                    continue  # timing-only scan from here on
+                if pal is None or not w or not h:
+                    return frames, total_delay
+                idx = _lzw_decode(bytes(data), min_code, w * h)
+                if idx is None or len(idx) < w * h:
+                    return frames, total_delay
+                if iflags & 0x40:  # deinterlace
+                    order = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                    rows: list = [None] * h
+                    for src_r, dst_r in enumerate(order):
+                        rows[dst_r] = idx[src_r * w : (src_r + 1) * w]
+                    idx = b"".join(rows)
+                prev = bytes(canvas) if disposal == 3 else None
+                np_max = len(pal) // 3
+                for ry in range(min(h, ch - y if y < ch else 0)):
+                    cy = y + ry
+                    row = ry * w
+                    o = (cy * cw + x) * 3
+                    for rx in range(min(w, cw - x if x < cw else 0)):
+                        c = idx[row + rx]
+                        if c != trans_idx:
+                            if c >= np_max:
+                                return frames, total_delay
+                            canvas[o + rx * 3 : o + rx * 3 + 3] = pal[3 * c : 3 * c + 3]
+                frames.append((int(cw), int(ch), bytes(canvas), 3))
+                if disposal == 2:  # restore frame rect to background
+                    for ry in range(min(h, ch - y if y < ch else 0)):
+                        o = ((y + ry) * cw + x) * 3
+                        n_px = min(w, cw - x if x < cw else 0)
+                        canvas[o : o + n_px * 3] = bg * n_px
+                elif disposal == 3 and prev is not None:
+                    canvas = bytearray(prev)
+                disposal, trans_idx = 0, None
+            elif b == 0x3B:  # trailer
+                break
+            else:
+                break
+    except Exception:
+        pass
+    return frames, total_delay
+
+
 def _lzw_decode(data: bytes, min_code: int, limit: int) -> Optional[bytes]:
     """GIF variable-width LZW: clear/EOI codes, dictionary to 4096
     entries, code width grows at dictionary size boundaries."""
@@ -1785,10 +1897,11 @@ def decode_videos(
     """binary payloads -> video metadata + features via mapInPandas.
     Container metadata (dims, duration) is REAL for MP4/MOV/AVI from the
     actual box/chunk structures; frame pixel features are REAL for
-    Motion-JPEG AVI (first frame through the stdlib+numpy baseline-JPEG
-    decoder) and digest-stubbed for the remaining codecs (no H.264/VP9
-    in stdlib) with the format kept real so downstream filters can split
-    decodable work from stub work. The output feeds
+    Motion-JPEG AVI and animated GIF (full GIF89a compositing — frame
+    offsets, transparency, disposal — with duration from the summed
+    frame delays) and digest-stubbed for the remaining codecs (no
+    H.264/VP9 in stdlib) with the format kept real so downstream filters
+    can split decodable work from stub work. The output feeds
     ``sample_video_frames`` directly (duration_s column)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1804,7 +1917,16 @@ def decode_videos(
                         frames = _avi_mjpeg_frames(raw, max_frames=1)
                         if frames:
                             frame = frames[0]
-                else:
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    gif_frames, gif_dur = _gif_frames(raw, max_frames=1)
+                    if gif_frames:
+                        frame = gif_frames[0]
+                        w, h = frame[0], frame[1]
+                        dur = round(gif_dur, 3)
+                        fmt = "gif"
+                    else:
+                        meta = None  # malformed GIF: digest stub below
+                if meta is None and frame is None:
                     d = hashlib.md5(raw or b"").digest()
                     w, h = 160 + d[0] % 1024, 120 + d[1] % 1024
                     dur = round(1.0 + d[2] / 8.0, 3)

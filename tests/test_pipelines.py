@@ -1289,6 +1289,112 @@ def _encode_gif(w, h, idx, palette, interlace=False):
     return bytes(out)
 
 
+def _gif_lzw_pack(idx_bytes, n_colors):
+    """Constant-width LZW pack (clear before width change) + min_code."""
+    min_code = max(2, (n_colors - 1).bit_length())
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    codes = [clear]
+    since = 0
+    for c in idx_bytes:
+        codes.append(c)
+        since += 1
+        if since == (1 << min_code) - 2:
+            codes.append(clear)
+            since = 0
+    codes.append(eoi)
+    acc = bits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        packed.append(acc & 0xFF)
+    return min_code, bytes(packed)
+
+
+def _encode_animated_gif(cw, ch, palette, frames, bg_idx=0):
+    """Hand-built multi-frame GIF89a: ``frames`` is a list of dicts with
+    x, y, w, h, idx (row-major palette indices), delay_cs, disposal,
+    trans (transparent index or None)."""
+    import struct as st
+
+    n_colors = len(palette) // 3
+    gct_bits = max((n_colors - 1).bit_length(), 1)
+    pal = palette + bytes(3 * ((2 << (gct_bits - 1)) - n_colors))
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HH", cw, ch) + bytes([0x80 | (gct_bits - 1), bg_idx, 0]) + pal
+    for f in frames:
+        pf = (f.get("disposal", 0) & 0x7) << 2 | (1 if f.get("trans") is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([pf]) + st.pack("<H", f.get("delay_cs", 0))
+        out += bytes([f.get("trans") or 0, 0])
+        out += b"\x2c" + st.pack("<HHHH", f["x"], f["y"], f["w"], f["h"]) + b"\x00"
+        min_code, packed = _gif_lzw_pack(bytes(f["idx"]), n_colors)
+        out += bytes([min_code])
+        for i in range(0, len(packed), 255):
+            chunk = packed[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_frames_compositing(spark):
+    """Animated GIF frames composite with full GIF89a semantics: frame
+    rect offsets, transparency holes, disposal 2 (restore-to-background)
+    and 3 (restore-to-previous), and duration from summed delays —
+    including delays of frames beyond max_frames (timing-only scan)."""
+    from cugraph_spark.pipelines.multimodal import _gif_frames, decode_videos
+
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  9, 9, 9])  # R G B bg
+    cw, ch = 4, 3
+    # frame 1: full canvas of RED, disposal 3 (restore previous after)
+    f1 = dict(x=0, y=0, w=4, h=3, idx=[0] * 12, delay_cs=10, disposal=3, trans=None)
+    # frame 2: 2x1 GREEN rect at (1,1) with one transparent px, disposal 2
+    f2 = dict(x=1, y=1, w=2, h=1, idx=[1, 3], delay_cs=20, disposal=2, trans=3)
+    # frame 3: 1x1 BLUE at (0,0), never materialized (max_frames=2) but
+    # its delay must still count
+    f3 = dict(x=0, y=0, w=1, h=1, idx=[2], delay_cs=30, disposal=0, trans=None)
+    gif = _encode_animated_gif(cw, ch, pal, [f1, f2, f3], bg_idx=3)
+
+    frames, dur = _gif_frames(gif, max_frames=2)
+    assert len(frames) == 2
+    assert dur == pytest.approx(0.6)  # (10+20+30) cs
+    w, h, rgb1, nch = frames[0]
+    assert (w, h, nch) == (cw, ch, 3)
+    assert rgb1 == bytes([255, 0, 0] * 12)  # all red
+    # frame 2 canvas: disposal 3 on frame 1 applies AFTER frame 1's
+    # snapshot, i.e. frame 2 composites onto the RESTORED (background)
+    # canvas, then draws GREEN at (1,1); its second px is transparent
+    _, _, rgb2, _ = frames[1]
+    exp = bytearray(bytes([9, 9, 9]) * 12)
+    exp[(1 * cw + 1) * 3 : (1 * cw + 1) * 3 + 3] = bytes([0, 255, 0])
+    assert rgb2 == bytes(exp)
+
+    # disposal 2: after a frame, its rect resets to background
+    g2 = _encode_animated_gif(
+        cw, ch, pal,
+        [dict(x=0, y=0, w=4, h=3, idx=[0] * 12, delay_cs=5, disposal=2, trans=None),
+         dict(x=3, y=2, w=1, h=1, idx=[1], delay_cs=5, disposal=0, trans=None)],
+        bg_idx=3,
+    )
+    fr2, _ = _gif_frames(g2, max_frames=2)
+    exp2 = bytearray(bytes([9, 9, 9]) * 12)  # rect restored to bg...
+    exp2[(2 * cw + 3) * 3 : (2 * cw + 3) * 3 + 3] = bytes([0, 255, 0])  # ...then green px
+    assert fr2[1][2] == bytes(exp2)
+
+    # decode_videos wiring: animated GIF = real video (format, dims,
+    # duration from delays, pixel feature from the composited frame)
+    df = spark.createDataFrame([(7, bytearray(gif))], "media_id long, payload binary")
+    row = {r["media_id"]: r for r in decode_videos(df).collect()}[7]
+    assert (row["width"], row["height"], row["format"]) == (cw, ch, "gif")
+    assert row["duration_s"] == pytest.approx(0.6)
+
+
 def test_gif_stdlib_raster_decode(spark):
     """GIFs decode for REAL in this container (no Pillow): LZW stream,
     palette lookup and deinterlace all verified against known pixels,
