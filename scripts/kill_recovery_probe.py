@@ -16,8 +16,11 @@ can be SIGKILLed. Three phases, fresh session each:
                expected to FAIL: local checkpoints truncate lineage, so
                the lost executor's blocks are unrecoverable by design.
 
-Run:  python scripts/kill_recovery_probe.py [scale] [max_iter]
-Writes scripts/kill_recovery_results.json and prints a summary.
+Run:  python scripts/kill_recovery_probe.py [scale] [max_iter] [op]
+``op`` is ``pagerank`` (default; materialize/truncate_lineage loop) or
+``louvain`` (the FusedSwap primitive + multi-level dendrogram — proves
+recovery is a property of the swap discipline, not of one algorithm).
+Writes scripts/kill_recovery_results{_<op>}.json and prints a summary.
 
 Uses a directed R-MAT graph (integral ids -> identity NumberMap) read
 from PARQUET, so the edge lineage is reliable by construction — the same
@@ -41,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 15
 MAX_ITER = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+OP = sys.argv[3] if len(sys.argv) > 3 else "pagerank"
 KILL_AFTER_CKPTS = 6
 MASTER = "local-cluster[2,4,2048]"
 
@@ -87,12 +91,31 @@ def run_pagerank(spark, edges_path: str):
     return {r["vertex"]: r["pagerank"] for r in rows}
 
 
+def run_louvain(spark, edges_path: str):
+    """FusedSwap user: every swap of the local-move loop goes through the
+    reliable cadence under the knob. Returns {vertex: partition} plus the
+    modularity under a sentinel key."""
+    from cugraph_spark import Graph, louvain
+
+    edges = spark.read.parquet(edges_path)
+    g = Graph(directed=False)
+    g.from_edgelist(edges, "src", "dst", weight="weight")
+    parts, q = louvain(g, max_level=2, max_iter=max(4, MAX_ITER // 4))
+    out = {r["vertex"]: r["partition"] for r in parts.collect()}
+    out["__modularity__"] = q
+    return out
+
+
+RUNNERS = {"pagerank": run_pagerank, "louvain": run_louvain}
+
+
 def count_ckpts(ckdir: str) -> int:
     return len(glob.glob(os.path.join(ckdir, "*", "rdd-*")))
 
 
 def main():
-    results = {"master": MASTER, "scale": SCALE, "max_iter": MAX_ITER}
+    run_op = RUNNERS[OP]
+    results = {"master": MASTER, "scale": SCALE, "max_iter": MAX_ITER, "op": OP}
 
     # ---- phase 0: edges to parquet (reliable input, like HDFS/S3) ----
     from cugraph_spark import rmat
@@ -114,7 +137,7 @@ def main():
     os.environ["SPARK_GRAFT_RELIABLE_EVERY"] = "1"
     spark = new_session("kill_probe_baseline")
     t0 = time.time()
-    baseline = run_pagerank(spark, edges_path)
+    baseline = run_op(spark, edges_path)
     results["baseline_wall_s"] = round(time.time() - t0, 1)
     results["baseline_ckpts"] = count_ckpts(ckdir_a)
     spark.stop()
@@ -143,7 +166,7 @@ def main():
     t0 = time.time()
     th = threading.Thread(target=killer, daemon=True)
     th.start()
-    recovered = run_pagerank(spark, edges_path)
+    recovered = run_op(spark, edges_path)
     results["recovery_wall_s"] = round(time.time() - t0, 1)
     th.join(timeout=5)
     post_pids = executor_pids()
@@ -190,7 +213,7 @@ def main():
     th = threading.Thread(target=killer_ctrl, daemon=True)
     th.start()
     try:
-        control = run_pagerank(spark, edges_path)
+        control = run_op(spark, edges_path)
         # a lucky run can finish if no lost localCheckpoint block is ever
         # re-read; record it honestly rather than forcing a pass
         cmax = max(abs(control[v] - baseline[v]) for v in baseline)
@@ -209,7 +232,10 @@ def main():
     results["control_wall_s"] = round(time.time() - t0, 1)
     spark.stop()
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kill_recovery_results.json")
+    suffix = "" if OP == "pagerank" else f"_{OP}"
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"kill_recovery_results{suffix}.json"
+    )
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
