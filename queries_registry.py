@@ -152,6 +152,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    8.4 s cold fixture tax). A changed builder or regenerated testdata
 #    changes the key, and stale-keyed entries for the same builder are
 #    dropped on save. SPARK_GRAFT_FIXTURE_CACHE=0 disables the disk layer.
+#    Crash-safe (the _catalog.json commit marker is written last; partial
+#    saves are deleted, unreadable entries fall back to a rebuild) but not
+#    concurrent-WRITER safe: two processes building the same missing entry
+#    simultaneously can interleave writes. The contract/bench drivers run
+#    fixtures sequentially; disable the cache if you parallelize them.
 _GRAPH_CACHE: dict = {}
 
 _FIXCACHE_DIR = os.path.join(
