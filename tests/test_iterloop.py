@@ -251,6 +251,49 @@ def test_plain_materialize_cadence_is_thread_local(spark, tmp_path, monkeypatch)
     assert results["t2"] == [False, True, False, True], results
 
 
+def test_small_plan_refcounted_overlapping_loops(spark):
+    """Two overlapping small_plan contexts (e.g. two algorithm loops on
+    one session) must not clobber each other: the first engager saves the
+    true pre-loop conf, the inner loop rides the same regime, and only
+    the LAST exit restores — exiting the inner context mid-outer-loop
+    must leave the regime engaged."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    with iterloop.small_plan(spark, 100) as a:
+        assert a is True
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        with iterloop.small_plan(spark, 200) as b:
+            assert b is True
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        # inner exit must NOT restore while the outer loop is still running
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+
+
+def test_freeze_reliable_under_knob(spark, tmp_path, monkeypatch):
+    """iterloop.freeze (id maps, kmeans training samples) must be
+    RELIABLE whenever the knob is set — un-cadenced, because frozen
+    tables live to end-of-job — and a non-integral-id graph's renumber
+    map must ride it (the executor-kill probe's latent-hole fix)."""
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "freeze_ck"))
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_EVERY", "4")  # cadence must NOT apply
+    for _ in range(3):
+        df = iterloop.freeze(spark.range(5).select(F.col("id").alias("k")))
+        assert _is_reliable(df)  # every call, not every 4th
+
+    from cugraph_spark import Graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0)], ["src", "dst", "weight"]
+    )
+    g = Graph(directed=False)
+    g.from_edgelist(edges, "src", "dst", weight="weight")  # string ids -> real NumberMap
+    assert _is_reliable(g._nm.map_df)
+
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+    df = iterloop.freeze(spark.range(5).select(F.col("id").alias("k")))
+    assert not _is_reliable(df)  # local fast path without the knob
+
+
 def test_small_plan_declines_when_streaming_active(spark):
     """small_plan's AQE-off/8-partition flips are session-global; with an
     active streaming query on the session the context must decline (yield
