@@ -41,6 +41,7 @@ def _forward(edges, seeds_df):
     visited = iterloop.materialize(visited)
     frontier = visited
     depth = 0
+    fs = iterloop.FusedSwap()  # swap + frontier count fused into one job
     while True:
         nxt = (
             edges.join(
@@ -51,10 +52,11 @@ def _forward(edges, seeds_df):
             .join(visited.select("source", "vertex"), ["source", "vertex"], "left_anti")
         )
         depth += 1
-        nxt = iterloop.materialize(
-            nxt.select("source", "vertex", F.lit(depth).alias("distance"), "sigma")
+        nxt, (n_new,) = fs.swap(
+            nxt.select("source", "vertex", F.lit(depth).alias("distance"), "sigma"),
+            [F.count(F.lit(1))],
         )
-        if nxt.count() == 0:
+        if n_new == 0:
             return visited, depth - 1
         visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
         frontier = nxt
@@ -100,6 +102,10 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
     delta = iterloop.materialize(delta)
     vertex_acc = None
     edge_acc = None
+    # per-level states are lazy leaf-swaps (defer): plans stay bounded
+    # (each level starts from a LogicalRDD leaf) but no per-level job is
+    # paid — the final bc aggregation executes the whole chain once
+    fs = iterloop.FusedSwap()
     for d in range(dmax, 0, -1):
         wlev = (
             visited.filter(F.col("distance") == d)
@@ -120,13 +126,13 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
         if want_edges:
             elev = contrib.groupBy(SRC, DST).agg(F.sum("_c").alias("_bc"))
             edge_acc = elev if edge_acc is None else edge_acc.unionByName(elev)
-            edge_acc = iterloop.materialize(
+            edge_acc = fs.defer(
                 edge_acc.groupBy(SRC, DST).agg(F.sum("_bc").alias("_bc"))
             )
         lev_delta = contrib.groupBy("source", F.col(SRC).alias("vertex")).agg(
             F.sum("_c").alias("_nd")
         )
-        delta = iterloop.materialize(
+        delta = fs.defer(
             delta.join(lev_delta, ["source", "vertex"], "left")
             .select("source", "vertex",
                     (F.col("delta") + F.coalesce("_nd", F.lit(0.0))).alias("delta"))

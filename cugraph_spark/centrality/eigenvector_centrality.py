@@ -43,6 +43,13 @@ def eigenvector_centrality(
     state = iterloop.materialize(state)
 
     converged = False
+    # Two fused jobs per pass instead of four: the pre-normalization state
+    # is swapped with its L2 norm in ONE job (FusedSwap); the normalized
+    # state is then a pure projection over that leaf (no second
+    # checkpoint needed — the leaf already bounds the plan), and the L1
+    # delta is one cheap agg over the materialized blocks with the norm
+    # inlined as a literal.
+    fs = iterloop.FusedSwap()
     with iterloop.small_plan(edges.sparkSession, n):
         for _ in range(max_iter):
             msgs = (
@@ -60,16 +67,11 @@ def eigenvector_centrality(
                 F.col("_c").alias("_old"),
                 (F.coalesce("_in", F.lit(0.0)) + F.col("_c")).alias("_raw"),
             )
-            pre = iterloop.materialize(pre)
-            (l2,) = iterloop.collect_scalars(pre, [F.sqrt(F.sum(F.col("_raw") * F.col("_raw")))])
-            new_state = pre.select(
-                "vertex", "_old", (F.col("_raw") / F.lit(l2)).alias("_c")
-            )
-            new_state = iterloop.materialize(new_state)
+            pre, (l2,) = fs.swap(pre, [F.sqrt(F.sum(F.col("_raw") * F.col("_raw")))])
             (delta,) = iterloop.collect_scalars(
-                new_state, [F.sum(F.abs(F.col("_c") - F.col("_old")))]
+                pre, [F.sum(F.abs(F.col("_raw") / F.lit(l2) - F.col("_old")))]
             )
-            state = new_state.select("vertex", "_c")
+            state = pre.select("vertex", (F.col("_raw") / F.lit(l2)).alias("_c"))
             if delta < n * tol:
                 converged = True
                 break

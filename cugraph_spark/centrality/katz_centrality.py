@@ -54,6 +54,7 @@ def katz_centrality(
     state = iterloop.materialize(state)
 
     converged = False
+    fs = iterloop.FusedSwap()  # swap + L1-delta fused into one job per pass
     with iterloop.small_plan(edges.sparkSession, n):
         for _ in range(max_iter):
             msgs = (
@@ -74,8 +75,7 @@ def katz_centrality(
                     (F.lit(alpha) * F.coalesce("_in", F.lit(0.0)) + F.lit(beta)).alias("_c"),
                 )
             )
-            new_state = iterloop.materialize(new_state)
-            (delta,) = iterloop.collect_scalars(
+            new_state, (delta,) = fs.swap(
                 new_state, [F.sum(F.abs(F.col("_c") - F.col("_old")))]
             )
             state = new_state.select("vertex", "_c")

@@ -56,14 +56,14 @@ def ecg(
       # isolated-vertex set is topology-only — compute once for the whole
       # ensemble instead of once per member (3 jobs/member saved)
       verts = base.groupBy(F.col(SRC).alias("vertex")).agg(F.lit(1))
-      iso = iterloop.materialize(
+      iso, (n_iso,) = iterloop.FusedSwap().swap(
           verts.select("vertex").join(
               base.filter(F.col(SRC) != F.col(DST)).select(F.col(SRC).alias("vertex")),
               "vertex",
               "left_anti",
-          )
+          ),
+          [F.count(F.lit(1))],
       )
-      (n_iso,) = iterloop.collect_scalars(iso, [F.count("*")])
       iso_arg = iso if n_iso else False
       for i in range(ensemble_size):
         # jitter: permute effective tie-breaks by hashing vertex ids with

@@ -83,12 +83,15 @@ def ktruss_subgraph(G: Graph, k: int, use_weights: bool = True) -> Graph:
     it = 0
     # loop state is the (halved) edge list itself — small-plan applies
     # while it fits the broadcast-size regime
+    fs = iterloop.FusedSwap()  # swap + survivor count fused into one job
     with iterloop.small_plan(und.sparkSession, n_before):
         while True:
             it += 1
             sup = _edge_support(und)
-            keep = iterloop.materialize(sup.filter(F.col("_sup") >= k - 2).select(SRC, DST))
-            n_after = keep.count()  # survivor count doubles as last round's n_before
+            keep, (n_after,) = fs.swap(
+                sup.filter(F.col("_sup") >= k - 2).select(SRC, DST),
+                [F.count(F.lit(1))],
+            )
             und = keep
             if n_after == n_before or n_after == 0:
                 break

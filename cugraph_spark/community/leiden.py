@@ -87,6 +87,7 @@ def _split_disconnected(
         )
     labels = assign.select("vertex", F.col("vertex").alias("label"))
     labels = iterloop.materialize(labels)
+    fs = iterloop.FusedSwap()  # swap + changed-count fused into one job
     while True:
         nbr = (
             intra.join(hint(labels.select(F.col("vertex").alias(SRC), "label")), SRC)
@@ -111,8 +112,7 @@ def _split_disconnected(
                 "_o",
             )
         )
-        upd = iterloop.materialize(upd)
-        (ch,) = iterloop.collect_scalars(upd, [F.sum((F.col("label") != F.col("_o")).cast("long"))])
+        upd, (ch,) = fs.swap(upd, [F.sum((F.col("label") != F.col("_o")).cast("long"))])
         labels = upd.select("vertex", "label")
         if not ch:
             break
@@ -142,6 +142,10 @@ def leiden(
     # total edge weight is contraction-invariant: one job serves every
     # level's modularity computation
     (two_m,) = iterloop.collect_scalars(edges, [F.sum("_w")])
+    # Per-level swaps: mapping is a lazy leaf (defer — the next level's
+    # join materializes it) and the contracted edge table's swap fuses
+    # with its row-count job.
+    fs_lvl = iterloop.FusedSwap()
     with iterloop.small_plan(
         G.edgelist.sparkSession,
         G.number_of_vertices(),
@@ -176,7 +180,7 @@ def leiden(
             assign = _split_disconnected(
                 edges, assign, n_hint=n_hint, n_level_edges=n_level_edges
             )
-            mapping = iterloop.materialize(
+            mapping = fs_lvl.defer(
                 mapping.join(
                     assign.select(F.col("vertex").alias("community"), F.col("community").alias("_n")),
                     "community",
@@ -203,13 +207,13 @@ def leiden(
                 )
                 mapping = _apply_tail(mapping, comm)
                 break
-            edges = iterloop.materialize(
+            edges, (n_level_edges,) = fs_lvl.swap(
                 edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
                 .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
                 .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
-                .agg(F.sum("_w").alias("_w"))
+                .agg(F.sum("_w").alias("_w")),
+                [F.count(F.lit(1))],
             )
-            (n_level_edges,) = iterloop.collect_scalars(edges, [F.count("*")])
 
     out = mapping.select("vertex", F.col("community").alias("partition"))
     return G.unrenumber(out, "vertex"), q_final

@@ -421,6 +421,10 @@ def louvain(
     # loop regime (AQE off, few shuffle partitions, broadcast hints)
     # applies to the whole dendrogram walk
     n_level_edges = G.number_of_edges(directed_edges=True)
+    # Per-level swaps: mapping is a lazy leaf (defer — the next level's
+    # join materializes it) and the contracted edge table's swap fuses
+    # with its row-count job.
+    fs_lvl = iterloop.FusedSwap()
     with iterloop.small_plan(
         G.edgelist.sparkSession,
         G.number_of_vertices(),
@@ -443,7 +447,7 @@ def louvain(
                 edges, resolution, max_iter, threshold,
                 compute_q=False, n_edges=n_level_edges,
             )
-            mapping = iterloop.materialize(
+            mapping = fs_lvl.defer(
                 mapping.join(
                     assign.select(F.col("vertex").alias("community"), F.col("community").alias("_next")),
                     "community",
@@ -469,13 +473,13 @@ def louvain(
                 mapping = _apply_tail(mapping, comm)
                 break
             # coarsen: contract communities (cpp graph_contraction :267)
-            edges = iterloop.materialize(
+            edges, (n_level_edges,) = fs_lvl.swap(
                 edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
                 .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
                 .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
-                .agg(F.sum("_w").alias("_w"))
+                .agg(F.sum("_w").alias("_w")),
+                [F.count(F.lit(1))],
             )
-            (n_level_edges,) = iterloop.collect_scalars(edges, [F.count("*")])
 
     out = mapping.select("vertex", F.col("community").alias("partition"))
     return G.unrenumber(out, "vertex"), q_final

@@ -72,11 +72,13 @@ def _lanczos_embedding(
         F.pmod(F.xxhash64("vertex", F.lit(seed)), F.lit(1 << 20)) / float(1 << 20)
         - 0.5
     )
-    state = iterloop.materialize(G.vertices_internal.select("vertex", raw.alias("v1")))
-    (nrm0,) = iterloop.collect_scalars(state, [F.sqrt(F.sum(F.col("v1") ** 2))])
-    state = iterloop.materialize(
-        state.select("vertex", (F.col("v1") / F.lit(nrm0 or 1.0)).alias("v1"))
+    fs = iterloop.FusedSwap()  # per-step swap + scalar agg fused (one job)
+    state, (nrm0,) = fs.swap(
+        G.vertices_internal.select("vertex", raw.alias("v1")),
+        [F.sqrt(F.sum(F.col("v1") ** 2))],
     )
+    # pure projection over the checkpointed leaf — no second job needed
+    state = state.select("vertex", (F.col("v1") / F.lit(nrm0 or 1.0)).alias("v1"))
 
     # Basis columns are stored UNNORMALIZED: ||u_j|| is measured inside
     # the NEXT step's reorth-dots aggregation (beta_{j-1} == ||u_j||
@@ -109,14 +111,12 @@ def _lanczos_embedding(
                 .groupBy(F.col(DST).alias("vertex"))
                 .agg(F.sum(F.col("_c") * F.col("_x")).alias("_av"))
             )
-            work = iterloop.materialize(
+            # swap + (reorth coefficients, ||u_j||^2) fused into ONE job
+            # (FusedSwap): the agg materializes the checkpoint blocks
+            work, res = fs.swap(
                 state.join(av, "vertex", "left").withColumn(
                     "_w", F.col(vj) - F.coalesce("_av", F.lit(0.0))
-                )
-            )
-            # reorth coefficients + ||u_j||^2 in ONE agg
-            res = iterloop.collect_scalars(
-                work,
+                ),
                 [F.sum(F.col("_w") * F.col(b)) for b in basis]
                 + [F.sum(F.col(vj) ** 2)],
             )
@@ -160,12 +160,13 @@ def _lanczos_embedding(
             ortho = F.col("_w")
             for b, d, nb in zip(basis, dots, nsqs):
                 ortho = ortho - F.lit(d / nb) * F.col(b)
-            state = iterloop.materialize(
-                work.select(
-                    "vertex",
-                    *basis,
-                    (ortho / F.lit(math.sqrt(nsq_j))).alias(f"v{j + 1}"),
-                )
+            # work is already a checkpointed leaf: the next step's two
+            # consumers re-derive this pure column projection for free,
+            # so no extra checkpoint job is needed here
+            state = work.select(
+                "vertex",
+                *basis,
+                (ortho / F.lit(math.sqrt(nsq_j))).alias(f"v{j + 1}"),
             )
     norm.unpersist()
 

@@ -93,6 +93,13 @@ def weakly_connected_components(
     labels = G.vertices_internal.select("vertex", F.col("vertex").alias("label"))
     labels = iterloop.materialize(labels)
     it = 0
+    # Per-round state swap + convergence scalar fused into ONE job
+    # (iterloop.FusedSwap): the new label table is local-checkpointed
+    # lazily (plan becomes a leaf immediately) and the changed-labels agg
+    # is the action that materializes the blocks — halves the per-round
+    # fixed job cost vs materialize()+collect_scalars(). Reliable-
+    # checkpoint mode keeps the eager two-job cadence inside swap().
+    fs = iterloop.FusedSwap()
     with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
         while True:
             it += 1
@@ -135,8 +142,7 @@ def weakly_connected_components(
                     "_old",
                 )
             )
-            new_labels = iterloop.materialize(new_labels)
-            (changes,) = iterloop.collect_scalars(
+            new_labels, (changes,) = fs.swap(
                 new_labels, [F.sum((F.col("label") != F.col("_old")).cast("long"))]
             )
             labels = new_labels.select("vertex", "label")
@@ -177,6 +183,7 @@ def _max_coloring(
         )
     )
     rounds = 0
+    fs = iterloop.FusedSwap()  # swap + changed-count fused into one job
     while True:
         rounds += 1
         nbr = (
@@ -211,8 +218,7 @@ def _max_coloring(
                 "vertex", F.col("_c.cp").alias("cp"), F.col("_c.cid").alias("cid"), "_old"
             )
         )
-        new = iterloop.materialize(new)
-        (changes,) = iterloop.collect_scalars(
+        new, (changes,) = fs.swap(
             new, [F.sum((F.col("cid") != F.col("_old")).cast("long"))]
         )
         c = new.select("vertex", "cp", "cid")
@@ -249,9 +255,14 @@ def strongly_connected_components(
     pieces: list[DataFrame] = []  # one (vertex, labels) piece per outer round
     outer = 0
     inner = 0
+    # Outer-round intermediates (e_cls, found, shrunken edges) are lazy
+    # leaf-swaps (defer): the coloring loops / the verts swap materialize
+    # their blocks as part of their own jobs. The remaining-vertices count
+    # is fused with the verts swap.
+    fs = iterloop.FusedSwap()
+    n_rem = verts.count()
     with iterloop.small_plan(edges.sparkSession, n_v, shuffled_rows=max(n_v, n_e)):
         while True:
-            n_rem = verts.count()
             if n_rem == 0:
                 break
             outer += 1
@@ -267,7 +278,7 @@ def strongly_connected_components(
                 .filter(F.col("_cs") == F.col("_cd"))
                 .select(SRC, DST)
             )
-            e_cls = iterloop.materialize(e_cls)
+            e_cls = fs.defer(e_cls)
             # (3) backward coloring within classes: d(v) = max-priority
             # same-class vertex reachable FROM v. The class root is the
             # max-priority member, so v ∈ SCC(root) iff d(v) == cf(v).
@@ -279,7 +290,7 @@ def strongly_connected_components(
             member = state.filter(F.col("_root") == F.col("_d")).select("vertex", "_root")
             # (4) deterministic labels: min vertex id per found SCC
             lab = member.groupBy("_root").agg(F.min("vertex").alias("labels"))
-            found = iterloop.materialize(
+            found = fs.defer(
                 member.join(iterloop.hint_state_join(lab, n_v), "_root")
                 .select("vertex", "labels")
             )
@@ -287,16 +298,18 @@ def strongly_connected_components(
             # shrink: drop found vertices; keep only edges whose endpoints
             # agree on d (intra-SCC paths never leave a d class) and
             # whose endpoints both survive
-            verts = iterloop.materialize(verts.join(found, "vertex", "left_anti"))
             d_s = d.select(F.col("vertex").alias(SRC), F.col("cid").alias("_ds"))
             d_d = d.select(F.col("vertex").alias(DST), F.col("cid").alias("_dd"))
-            edges = iterloop.materialize(
+            edges = fs.defer(
                 e_cls.join(iterloop.hint_state_join(d_s, n_v), SRC)
                 .join(iterloop.hint_state_join(d_d, n_v), DST)
                 .filter(F.col("_ds") == F.col("_dd"))
                 .select(SRC, DST)
                 .join(found.select(F.col("vertex").alias(SRC)), SRC, "left_anti")
                 .join(found.select(F.col("vertex").alias(DST)), DST, "left_anti")
+            )
+            verts, (n_rem,) = fs.swap(
+                verts.join(found, "vertex", "left_anti"), [F.count(F.lit(1))]
             )
 
     global _last_scc_stats

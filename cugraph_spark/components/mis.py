@@ -28,8 +28,12 @@ def maximal_independent_set(G: Graph, seed: int = 42) -> DataFrame:
     mis = None
 
     n_v = G.number_of_vertices()
+    # One fused job per round: winners/mis are lazy leaf-swaps (defer) and
+    # the active-set swap's fused count agg is the round's single action.
+    fs = iterloop.FusedSwap()
+    (n_active,) = iterloop.collect_scalars(active, [F.count(F.lit(1))])
     with iterloop.small_plan(edges.sparkSession, n_v):
-      while active.count() > 0:
+      while n_active > 0:
         pri = active.select("vertex", F.xxhash64("vertex", F.lit(seed)).alias("_p"))
         nbr_min = (
             edges.join(
@@ -49,17 +53,17 @@ def maximal_independent_set(G: Graph, seed: int = 42) -> DataFrame:
             .filter(F.col("_np").isNull() | (F.col("_p") < F.col("_np")))
             .select("vertex")
         )
-        winners = iterloop.materialize(winners)
-        mis = winners if mis is None else mis.unionByName(winners)
-        mis = iterloop.materialize(mis)
+        winners = fs.defer(winners)
+        mis = winners if mis is None else fs.defer(mis.unionByName(winners))
         # remove winners and their neighbors
         nbrs = (
             edges.join(winners.withColumnRenamed("vertex", SRC), SRC, "left_semi")
             .select(F.col(DST).alias("vertex"))
             .distinct()
         )
-        active = iterloop.materialize(
-            active.join(winners, "vertex", "left_anti").join(nbrs, "vertex", "left_anti")
+        active, (n_active,) = fs.swap(
+            active.join(winners, "vertex", "left_anti").join(nbrs, "vertex", "left_anti"),
+            [F.count(F.lit(1))],
         )
         seed += 1
 

@@ -57,8 +57,13 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
     )
     colored = None  # (vertex, color)
 
+    # One fused job per round (FusedSwap): the intra-round intermediates
+    # (cand, newly, colored-union) are lazily leaf-swapped (defer — no job
+    # of their own) and the round's single action is the uncolored swap's
+    # fused count agg, which materializes the whole chain's blocks.
+    fs = iterloop.FusedSwap()
+    (n_uncolored,) = iterloop.collect_scalars(uncolored, [F.count("*")])
     while True:
-        (n_uncolored,) = iterloop.collect_scalars(uncolored, [F.count("*")])
         if not n_uncolored:
             break
 
@@ -107,7 +112,7 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
                 " x -> NOT array_contains(_used, x))[_rank]"
             ).cast("int").alias("color"),
         )
-        cand = iterloop.materialize(cand)
+        cand = fs.defer(cand)
 
         # conflicts: adjacent candidates with equal color — keep the
         # higher-(p, id) endpoint, the other retries next round
@@ -132,16 +137,17 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
             .select(F.col(DST).alias("vertex"))
             .distinct()
         )
-        newly = iterloop.materialize(
+        newly = fs.defer(
             cand.join(losers, "vertex", "left_anti").select("vertex", "color")
         )
 
         colored = (
             newly if colored is None
-            else iterloop.materialize(colored.unionByName(newly))
+            else fs.defer(colored.unionByName(newly))
         )
-        uncolored = iterloop.materialize(
-            uncolored.join(newly.select("vertex"), "vertex", "left_anti")
+        uncolored, (n_uncolored,) = fs.swap(
+            uncolored.join(newly.select("vertex"), "vertex", "left_anti"),
+            [F.count(F.lit(1))],
         )
 
     if colored is None:

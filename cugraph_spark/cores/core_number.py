@@ -52,6 +52,7 @@ def core_number(G: Graph, degree_type: str = "bidirectional") -> DataFrame:
     ).cast("int")
 
     it = 0
+    fs = iterloop.FusedSwap()  # swap + changed-count fused into one job
     with iterloop.small_plan(e.sparkSession, G.number_of_vertices()):
       while True:
         it += 1
@@ -74,8 +75,7 @@ def core_number(G: Graph, degree_type: str = "bidirectional") -> DataFrame:
                 F.col("c").alias("_old"),
             )
         )
-        new_state = iterloop.materialize(new_state)
-        (changes,) = iterloop.collect_scalars(
+        new_state, (changes,) = fs.swap(
             new_state, [F.sum((F.col("c") != F.col("_old")).cast("long"))]
         )
         state = new_state.select("vertex", "c")

@@ -182,9 +182,11 @@ def force_atlas2(
     pos = pos.select(*state_cols, "x", "y").withColumn(
         "_pdx", F.lit(0.0)
     ).withColumn("_pdy", F.lit(0.0))
-    pos = iterloop.materialize(pos)
-
-    (n_v, sum_mass) = iterloop.collect_scalars(pos, [F.count("*"), F.sum("_mass")])
+    # Swap + scalar aggs fused into one job per use (FusedSwap); the
+    # post-step position update is a pure projection over the stepped
+    # leaf, so it needs no checkpoint job of its own.
+    fs = iterloop.FusedSwap()
+    pos, (n_v, sum_mass) = fs.swap(pos, [F.count(F.lit(1)), F.sum("_mass")])
     if not n_v:
         return G.unrenumber(pos.select("vertex", "x", "y"), "vertex")
 
@@ -341,16 +343,15 @@ def force_atlas2(
                 ).alias("_dy"),
             )
         )
-        stepped = iterloop.materialize(stepped)
-
-        # adaptive speed (Jacomy et al. 2014): swing vs traction
+        # adaptive speed (Jacomy et al. 2014): swing vs traction —
+        # fused with the stepped-state swap into one job
         swing_c = F.sqrt(
             (F.col("_dx") - F.col("_pdx")) ** 2 + (F.col("_dy") - F.col("_pdy")) ** 2
         )
         tract_c = F.lit(0.5) * F.sqrt(
             (F.col("_dx") + F.col("_pdx")) ** 2 + (F.col("_dy") + F.col("_pdy")) ** 2
         )
-        g_swing, g_tract = iterloop.collect_scalars(
+        stepped, (g_swing, g_tract) = fs.swap(
             stepped,
             [F.sum(F.col("_mass") * swing_c), F.sum(F.col("_mass") * tract_c)],
         )
@@ -381,7 +382,8 @@ def force_atlas2(
             F.col("_dx").alias("_pdx"),
             F.col("_dy").alias("_pdy"),
         )
-        pos = iterloop.materialize(pos)
+        # pure projection over the stepped leaf — consumers next pass
+        # re-derive the arithmetic for free; no checkpoint job
         if verbose:
             print(f"force_atlas2 iter {it}: speed={speed:.4f} swing={g_swing:.4f}")
 

@@ -42,6 +42,10 @@ def hits(
 
     combined = None
     hmax = amax = 1.0
+    # Swap + both normalizers fused into one job (FusedSwap); the
+    # optional tol delta stays a second cheap agg over the leaf because
+    # it needs hmax as a literal.
+    fs = iterloop.FusedSwap()
     with iterloop.small_plan(e.sparkSession, n):
         for _ in range(max_iter):
             auth_raw = (
@@ -70,7 +74,7 @@ def hits(
             # One vertex-keyed frame carries prev hub, raw hub and raw auth,
             # so a single agg yields both normalizers (the auth_full subtree
             # appears twice but its shuffle is deduped by exchange reuse).
-            combined = iterloop.materialize(
+            combined, (hmax, amax) = fs.swap(
                 state.join(hub_raw, "vertex", "left")
                 .join(auth_full, "vertex")
                 .select(
@@ -78,10 +82,8 @@ def hits(
                     F.col("_h").alias("_old"),
                     F.coalesce("_hraw", F.lit(0.0)).alias("_hraw"),
                     "_ar",
-                )
-            )
-            hmax, amax = iterloop.collect_scalars(
-                combined, [F.max("_hraw"), F.max("_ar")]
+                ),
+                [F.max("_hraw"), F.max("_ar")],
             )
             hmax = hmax or 1.0
             amax = amax or 1.0

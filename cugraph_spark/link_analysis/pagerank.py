@@ -148,23 +148,31 @@ def _pagerank_impl(
     else:
         state = state.withColumn("_rank", F.lit(1.0 / n))
 
-    state = iterloop.materialize(state)
     # has_dangling decided once: symmetrized undirected graphs never have
     # dangling vertices, and without them (and with tol=0, i.e. a fixed
     # iteration count) the loop needs NO per-iteration driver sync — just
-    # the per-pass checkpoint, with no convergence-scalar job.
-    (n_dangling,) = iterloop.collect_scalars(state, [F.sum(F.col("_dang").cast("long"))])
+    # the per-pass checkpoint, with no convergence-scalar job. The init
+    # checkpoint and the dangling-count scalar fuse into one job.
+    state, (n_dangling, dangling_sum) = iterloop.FusedSwap().swap(
+        state,
+        [
+            F.sum(F.col("_dang").cast("long")),
+            F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0)),
+        ],
+    )
     has_dangling = bool(n_dangling)
-    dangling_sum = 0.0
-    if has_dangling:
-        (dangling_sum,) = iterloop.collect_scalars(
-            state, [F.sum(F.when(F.col("_dang"), F.col("_rank")).otherwise(0.0))]
-        )
+    if not has_dangling:
+        dangling_sum = 0.0
 
     need_sync_every_iter = has_dangling or tol > 0
     converged = False
     spark = edges.sparkSession
     if need_sync_every_iter:
+        # Swap + (delta, dangling) scalars fused into ONE job per pass
+        # (iterloop.FusedSwap): lazy checkpoint, the convergence agg
+        # materializes the blocks; both next-pass consumers (message join
+        # + rank update) then read them. Reliable mode stays eager.
+        fs = iterloop.FusedSwap()
         with iterloop.small_plan(spark, n):
             for it in range(max_iter):
                 msgs = (
@@ -188,10 +196,9 @@ def _pagerank_impl(
                     )
                 )
                 # the state feeds two places per pass (message join + rank
-                # update), so it must be cut every pass or the lazy chain
-                # re-executes prior passes once per downstream use
-                new_state = iterloop.materialize(new_state)
-                delta, dangling_sum = iterloop.collect_scalars(
+                # update), so it must become a leaf every pass or the lazy
+                # chain re-executes prior passes once per downstream use
+                new_state, (delta, dangling_sum) = fs.swap(
                     new_state,
                     [
                         F.sum(F.abs(F.col("_rank") - F.col("_prev"))),

@@ -230,6 +230,20 @@ class FusedSwap:
         src = scalar_view(df) if scalar_view is not None else df
         return df, collect_scalars(src, exprs)
 
+    def defer(self, df: DataFrame) -> DataFrame:
+        """Leaf-swap ``df`` with NO job of its own: the plan becomes a
+        ``LogicalRDD`` leaf immediately and the blocks materialize as part
+        of whatever downstream action consumes it first (typically this
+        loop's one fused scalar job). For intra-pass intermediates that
+        feed several consumers but carry no convergence scalar — an eager
+        checkpoint job per intermediate is pure fixed cost. In reliable
+        mode the swap goes through ``materialize()`` (eager, cadenced) so
+        executor-loss recovery covers these states too."""
+        if _reliable_dir() is not None:
+            self._swaps += 1
+            return materialize(df, seq=self._swaps)
+        return _strip_inherited_stats(df.localCheckpoint(eager=False))
+
     def close(self) -> None:
         """Nothing to release: checkpoint blocks follow driver GC."""
 

@@ -62,6 +62,11 @@ def bfs(
     )
     frontier = visited.select("vertex")
     depth = 0
+    # Per-level checkpoint + frontier count fused into ONE job
+    # (iterloop.FusedSwap): the new frontier is lazily checkpointed and
+    # the count agg materializes it, instead of an eager-checkpoint job
+    # followed by a count job. Reliable mode keeps the eager cadence.
+    fs = iterloop.FusedSwap()
     with iterloop.small_plan(spark, G.number_of_vertices()):
         while depth_limit is None or depth < depth_limit:
             nxt = (
@@ -82,10 +87,10 @@ def bfs(
                 )
             )
             depth += 1
-            nxt = iterloop.materialize(
-                nxt.select("vertex", F.lit(depth).cast("int").alias("distance"), "predecessor")
+            nxt, (n_new,) = fs.swap(
+                nxt.select("vertex", F.lit(depth).cast("int").alias("distance"), "predecessor"),
+                [F.count(F.lit(1))],
             )
-            n_new = nxt.count()
             if n_new == 0:
                 break
             visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
@@ -175,6 +180,7 @@ def multi_source_bfs(
     )
     frontier = visited.select("source", "vertex")
     depth = 0
+    fs = iterloop.FusedSwap()  # fused checkpoint+count, as in bfs()
     with iterloop.small_plan(spark, G.number_of_vertices() * max(len(ids), 1)):
         while depth_limit is None or depth < depth_limit:
             nxt = (
@@ -197,12 +203,13 @@ def multi_source_bfs(
                 )
             )
             depth += 1
-            nxt = iterloop.materialize(
+            nxt, (n_new,) = fs.swap(
                 nxt.select(
                     "source", "vertex", F.lit(depth).cast("int").alias("distance"), "predecessor"
-                )
+                ),
+                [F.count(F.lit(1))],
             )
-            if nxt.count() == 0:
+            if n_new == 0:
                 break
             visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
             frontier = nxt.select("source", "vertex")

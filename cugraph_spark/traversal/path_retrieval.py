@@ -39,6 +39,7 @@ def extract_bfs_paths(
         F.lit(False).alias("_done"),
     )
     state = iterloop.materialize(state)
+    fs = iterloop.FusedSwap()  # swap + open-count fused into one job
     for it in range(max_depth):
         step = (
             state.join(preds.withColumnRenamed("vertex", "_cur"), "_cur", "left")
@@ -59,8 +60,7 @@ def extract_bfs_paths(
                 ).alias("_done"),
             )
         )
-        step = iterloop.materialize(step)
-        (open_cnt,) = iterloop.collect_scalars(step, [F.sum((~F.col("_done")).cast("long"))])
+        step, (open_cnt,) = fs.swap(step, [F.sum((~F.col("_done")).cast("long"))])
         state = step
         if not open_cnt:
             break

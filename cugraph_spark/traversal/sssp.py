@@ -112,20 +112,26 @@ def sssp(
             better.alias("_impr"),
         )
 
+    # Per-round swap + convergence scalar fused into ONE job
+    # (iterloop.FusedSwap, guide §2: fewer fixed-cost driver rounds): the
+    # relaxed state is local-checkpointed lazily and the improved-count
+    # agg is the action that materializes it. The state's two consumers
+    # next round (frontier filter + full-outer update) then read the
+    # checkpoint blocks. Reliable mode keeps the eager cadence.
+    fs = iterloop.FusedSwap()
     with iterloop.small_plan(spark, G.number_of_vertices()):
         while True:
             # RELAX_PASSES_PER_SYNC Bellman-Ford relaxations per
-            # materialize+convergence cycle: relaxations are confluent
+            # swap+convergence cycle: relaxations are confluent
             # min-plus updates, so the fixpoint is unchanged while the
-            # fixed per-round cost (checkpoint job + scalar job) is paid
-            # 1/k as often. The check stays sound: final pass's _impr
-            # empty => its frontier relaxed to nothing new => fixpoint.
+            # fixed per-round cost is paid 1/k as often. The check stays
+            # sound: final pass's _impr empty => its frontier relaxed to
+            # nothing new => fixpoint.
             step = dist
             for _ in range(RELAX_PASSES_PER_SYNC):
                 step = relax(step)
-            dist = iterloop.materialize(step)
-            (n_improved,) = iterloop.collect_scalars(
-                dist, [F.sum(F.col("_impr").cast("long"))]
+            dist, (n_improved,) = fs.swap(
+                step, [F.sum(F.col("_impr").cast("long"))]
             )
             if not n_improved:
                 break

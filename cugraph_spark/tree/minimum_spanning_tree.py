@@ -102,6 +102,7 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
             "node", F.col("node").alias("lab")
         )
         labels = iterloop.materialize(labels)
+        fs = iterloop.FusedSwap()  # swap + changed-count fused into one job
         while True:
             nbr = (
                 merge.join(labels.select(F.col("node").alias("a"), "lab"), "a")
@@ -113,8 +114,7 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
                 F.least(F.col("lab"), F.coalesce("_n", F.col("lab"))).alias("lab"),
                 F.col("lab").alias("_o"),
             )
-            upd = iterloop.materialize(upd)
-            (ch,) = iterloop.collect_scalars(upd, [F.sum((F.col("lab") != F.col("_o")).cast("long"))])
+            upd, (ch,) = fs.swap(upd, [F.sum((F.col("lab") != F.col("_o")).cast("long"))])
             labels = upd.select("node", "lab")
             if not ch:
                 break

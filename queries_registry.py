@@ -151,7 +151,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    re-running the fixture's join+distinct+self-join (leiden/louvain's
 #    8.4 s cold fixture tax). A changed builder or regenerated testdata
 #    changes the key, and stale-keyed entries for the same builder are
-#    dropped on save. SPARK_GRAFT_FIXTURE_CACHE=0 disables the disk layer.
+#    dropped on save. OFF by default (opt-in: SPARK_GRAFT_FIXTURE_CACHE=1):
+#    a persisted cross-process intermediate derived from the testdata is
+#    result pre-computation from the bench/contract driver's point of
+#    view — every driver invocation must compute from the parquet inputs.
+#    The layer exists for interactive/dev loops over a fixed sf_dir.
 #    Crash-safe (the _catalog.json commit marker is written last; partial
 #    saves are deleted, unreadable entries fall back to a rebuild) but not
 #    concurrent-WRITER safe: two processes building the same missing entry
@@ -206,7 +210,7 @@ def _graph_memo(fn):
 
 
 def _disk_cached_build(fn, spark: SparkSession, sf_dir: str, args, kwargs):
-    if os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", "1") == "0":
+    if os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", "0") != "1":
         return fn(spark, sf_dir, *args, **kwargs)
     import shutil
 
