@@ -101,13 +101,17 @@ def main() -> None:
 
     # -- graph build: customer<->supplier bipartite ------------------------
     def _build_cs():
+        # No .distinct() on the edge input (r6, guide §2.4): from_edgelist
+        # already collapses parallel edges with a partition-local dedup
+        # AFTER its one build shuffle, so a pre-distinct is a redundant
+        # second E-sized Exchange + aggregate producing the IDENTICAL
+        # graph (same edges_built, same algorithm results).
         cs = (
             lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
             .select(
                 F.col("o_custkey").alias("src"),
                 (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
             )
-            .distinct()
         )
         g = Graph(directed=False)
         g.from_edgelist(cs, "src", "dst")
