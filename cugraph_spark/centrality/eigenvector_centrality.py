@@ -68,13 +68,16 @@ def eigenvector_centrality(
                 (F.coalesce("_in", F.lit(0.0)) + F.col("_c")).alias("_raw"),
             )
             pre, (l2,) = fs.swap(pre, [F.sqrt(F.sum(F.col("_raw") * F.col("_raw")))])
-            (delta,) = iterloop.collect_scalars(
-                pre, [F.sum(F.abs(F.col("_raw") / F.lit(l2) - F.col("_old")))]
-            )
             state = pre.select("vertex", (F.col("_raw") / F.lit(l2)).alias("_c"))
-            if delta < n * tol:
-                converged = True
-                break
+            if tol > 0:
+                # tol=0 can never satisfy delta < n*tol — skip the dead
+                # convergence job on fixed-iteration runs
+                (delta,) = iterloop.collect_scalars(
+                    pre, [F.sum(F.abs(F.col("_raw") / F.lit(l2) - F.col("_old")))]
+                )
+                if delta < n * tol:
+                    converged = True
+                    break
 
     e.unpersist()
     if not converged and fail_on_nonconvergence:

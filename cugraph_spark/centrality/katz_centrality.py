@@ -54,8 +54,35 @@ def katz_centrality(
     state = iterloop.materialize(state)
 
     converged = False
-    fs = iterloop.FusedSwap()  # swap + L1-delta fused into one job per pass
-    with iterloop.small_plan(edges.sparkSession, n):
+    if tol <= 0:
+        # Fixed-iteration path (tol=0 can never satisfy delta < tol): no
+        # per-pass convergence scalar, no per-pass driver sync at all —
+        # the update is a pure function of the messages (alpha*in + beta
+        # over the STATIC vertex set), so the state chain has a single
+        # consumer per pass and can stay lazy between interval
+        # checkpoints, exactly like pagerank's fast path (one job per 4
+        # passes instead of one per pass). Arithmetic is identical.
+        with iterloop.small_plan(edges.sparkSession, n):
+            for it in range(max_iter):
+                msgs = (
+                    e.join(
+                        iterloop.hint_state_join(
+                            state.select(F.col("vertex").alias(SRC), "_c"), n
+                        ),
+                        SRC,
+                    )
+                    .groupBy(F.col(DST).alias("vertex"))
+                    .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
+                )
+                state = verts.join(msgs, "vertex", "left").select(
+                    "vertex",
+                    (F.lit(alpha) * F.coalesce("_in", F.lit(0.0)) + F.lit(beta)).alias("_c"),
+                )
+                state = iterloop.truncate_lineage(state, it + 1, 4)
+            state = iterloop.materialize(state)
+    else:
+      fs = iterloop.FusedSwap()  # swap + L1-delta fused into one job per pass
+      with iterloop.small_plan(edges.sparkSession, n):
         for _ in range(max_iter):
             msgs = (
                 e.join(

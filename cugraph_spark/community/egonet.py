@@ -39,3 +39,13 @@ def batched_ego_graphs(G: Graph, seeds, radius: int = 1) -> DataFrame:
     r1 = reach.select(F.col("source").alias("seed"), F.col("vertex").alias(SRC))
     r2 = reach.select(F.col("source").alias("seed"), F.col("vertex").alias(DST))
     return edges.join(r1, SRC).join(r2, ["seed", DST]).select("seed", *edges.columns)
+
+
+def ego_graph_edges(G: Graph, n, radius: int = 1) -> "DataFrame":
+    """Unique (src < dst) pairs of the ego net — edge-list query surface
+    (BFS reach + induced edges, no Graph rebuild)."""
+    from .induced_subgraph import induced_subgraph_edges
+
+    res = bfs(G, n, depth_limit=radius)
+    reached = res.filter(F.col("distance") != INT_MAX).select("vertex")
+    return induced_subgraph_edges(G, reached)

@@ -67,3 +67,18 @@ def induced_subgraph(G: Graph, vertices, offsets=None):
 def subgraph(G: Graph, vertices) -> Graph:
     """Alias kept for the reference's older name."""
     return induced_subgraph(G, vertices)
+
+
+def induced_subgraph_edges(G: Graph, vertices) -> DataFrame:
+    """Unique (src < dst) external-id pairs of the induced subgraph —
+    the edge-list query surface, skipping the Graph rebuild the Graph
+    surface pays around rows that are immediately flattened back."""
+    spark = G.edgelist.sparkSession
+    if isinstance(vertices, DataFrame):
+        vdf = vertices.select(F.col(vertices.columns[0]).alias("_v"))
+    else:
+        vdf = spark.createDataFrame([(v,) for v in vertices], ["_v"])
+    edges = G.edges()
+    edges = edges.join(vdf.withColumnRenamed("_v", SRC), SRC, "left_semi")
+    edges = edges.join(vdf.withColumnRenamed("_v", DST), DST, "left_semi")
+    return edges.filter(F.col(SRC) < F.col(DST)).select(SRC, DST)

@@ -19,8 +19,16 @@ from ..plans import iterloop
 from ..structure.graph import Graph
 
 
-def _edge_support(und: DataFrame) -> DataFrame:
+def _edge_support(und: DataFrame, n_edges: int | None = None) -> DataFrame:
     """und: undirected unique pairs (src < dst). Returns (src, dst, sup).
+
+    ``n_edges``: current survivor count, known exactly by the peeling
+    loop. Inside the small-plan regime (AQE off, checkpoint leaves carry
+    no stats) every join here would otherwise plan as SortMergeJoin;
+    the degree/adjacency/support sides are all bounded by n_edges rows,
+    so they are broadcast-hinted whenever that bound fits the state
+    threshold — above it the hints are withheld and the sort-merge plan
+    (with AQE back on) is the scalable path.
 
     Same array-intersection plan as triangle_count (one shuffled row per
     EDGE whose array payloads sum to O(E) ids, intersection inside one
@@ -29,6 +37,7 @@ def _edge_support(und: DataFrame) -> DataFrame:
     197.7 s for 4.2x edges at R-MAT scale 16 -> 18 before triangle_count
     dropped it). Degree-orientation is recomputed on each round's
     survivor set, so the neighbor-array bound holds as edges fall out."""
+    hint = lambda df: iterloop.hint_state_join(df, n_edges)
     deg = (
         und.select(F.col(SRC).alias("_v"))
         .unionAll(und.select(F.col(DST).alias("_v")))
@@ -36,8 +45,8 @@ def _edge_support(und: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("_d"))
     )
     e = und.join(
-        deg.select(F.col("_v").alias(SRC), F.col("_d").alias("_ds")), SRC
-    ).join(deg.select(F.col("_v").alias(DST), F.col("_d").alias("_dd")), DST)
+        hint(deg.select(F.col("_v").alias(SRC), F.col("_d").alias("_ds"))), SRC
+    ).join(hint(deg.select(F.col("_v").alias(DST), F.col("_d").alias("_dd"))), DST)
     fwd = (F.col("_ds") < F.col("_dd")) | (
         (F.col("_ds") == F.col("_dd")) & (F.col(SRC) < F.col(DST))
     )
@@ -47,8 +56,8 @@ def _edge_support(und: DataFrame) -> DataFrame:
     )
     adj = o.groupBy("a").agg(F.collect_list("b").alias("_n"))
     tri = (
-        o.join(adj.select(F.col("a"), F.col("_n").alias("_na")), "a")
-        .join(adj.select(F.col("a").alias("b"), F.col("_n").alias("_nb")), "b")
+        o.join(hint(adj.select(F.col("a"), F.col("_n").alias("_na"))), "a")
+        .join(hint(adj.select(F.col("a").alias("b"), F.col("_n").alias("_nb"))), "b")
         .select("a", "b", F.explode(F.array_intersect("_na", "_nb")).alias("c"))
     )
     # sides come back degree-oriented; canonicalize to the id-ordered
@@ -61,15 +70,14 @@ def _edge_support(und: DataFrame) -> DataFrame:
         F.least("_x", "_y").alias(SRC), F.greatest("_x", "_y").alias(DST)
     )
     sup = sides.groupBy(SRC, DST).agg(F.count("*").alias("_sup"))
-    return und.join(sup, [SRC, DST], "left").select(
+    return und.join(hint(sup), [SRC, DST], "left").select(
         SRC, DST, F.coalesce("_sup", F.lit(0)).alias("_sup")
     )
 
 
-def ktruss_subgraph(G: Graph, k: int, use_weights: bool = True) -> Graph:
-    """Returns the k-truss as a Graph (undirected input only).
-    ``use_weights`` is deprecated in the reference (ktruss_subgraph.py:53)
-    and ignored there too."""
+def _ktruss_pairs(G: Graph, k: int) -> DataFrame:
+    """Peeling loop shared by the Graph and edge-list surfaces: returns
+    the surviving unique (src < dst) INTERNAL-id pairs."""
     if G.is_directed():
         raise ValueError("input graph must be undirected")
     if k < 3:
@@ -87,7 +95,7 @@ def ktruss_subgraph(G: Graph, k: int, use_weights: bool = True) -> Graph:
     with iterloop.small_plan(und.sparkSession, n_before):
         while True:
             it += 1
-            sup = _edge_support(und)
+            sup = _edge_support(und, n_before)
             keep, (n_after,) = fs.swap(
                 sup.filter(F.col("_sup") >= k - 2).select(SRC, DST),
                 [F.count(F.lit(1))],
@@ -96,9 +104,15 @@ def ktruss_subgraph(G: Graph, k: int, use_weights: bool = True) -> Graph:
             if n_after == n_before or n_after == 0:
                 break
             n_before = n_after
+    return und
 
+
+def ktruss_subgraph(G: Graph, k: int, use_weights: bool = True) -> Graph:
+    """Returns the k-truss as a Graph (undirected input only).
+    ``use_weights`` is deprecated in the reference (ktruss_subgraph.py:53)
+    and ignored there too."""
     # back to external ids via the parent graph's map, keep weights
-    pairs = und
+    pairs = _ktruss_pairs(G, k)
     edges = G.edgelist.join(pairs, [SRC, DST], "left_semi")
     edges = edges.unionByName(
         G.edgelist.join(
@@ -119,6 +133,16 @@ def k_truss(G: Graph, k: int) -> Graph:
 
 
 def k_truss_edges(G: Graph, k: int) -> DataFrame:
-    """Unique (src < dst) pairs of the k-truss (query surface)."""
-    sub = ktruss_subgraph(G, k)
-    return sub.edges().filter(F.col(SRC) < F.col(DST)).select(SRC, DST)
+    """Unique (src < dst) pairs of the k-truss (query surface).
+
+    Goes straight from the peeling loop's survivor pairs to external ids
+    — the old path built a full Graph (repartition + persist + count +
+    vertex set) around the result only to immediately flatten it back to
+    an edge list (r6: one whole graph build removed from the query)."""
+    pairs = _ktruss_pairs(G, k)
+    out = G.unrenumber(G.unrenumber(pairs, SRC), DST)
+    # canonicalize on EXTERNAL ids (internal ordering need not survive
+    # unrenumbering) — matches the old Graph-rebuild path's output
+    return out.select(
+        F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST)
+    )

@@ -27,9 +27,16 @@ def approximate_weighted_matching(G: Graph) -> DataFrame:
     )
     matched = None
 
-    with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
+    # Two fused jobs per round (was five): mutual-swap + its count, then
+    # edge-shrink-swap + its count; the matched union is a lazy leaf.
+    # The best-pointer self-join is broadcast-hinted (V-bounded side) so
+    # it never plans as a sort-merge join under the stats-less leaves.
+    n_v = G.number_of_vertices()
+    fs = iterloop.FusedSwap()
+    (n_e,) = iterloop.collect_scalars(edges, [F.count(F.lit(1))])
+    with iterloop.small_plan(edges.sparkSession, n_v):
       while True:
-        if edges.count() == 0:
+        if n_e == 0:
             break
         best = (
             edges.groupBy(SRC)
@@ -39,24 +46,32 @@ def approximate_weighted_matching(G: Graph) -> DataFrame:
         mutual = (
             best.alias("x")
             .join(
-                best.alias("y"),
+                iterloop.hint_state_join(best.alias("y"), n_v),
                 (F.col("x.a") == F.col("y.b")) & (F.col("x.b") == F.col("y.a")),
             )
             .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
             .filter(F.col("a") < F.col("b"))
         )
-        mutual = iterloop.materialize(mutual)
-        if mutual.count() == 0:
+        mutual, (n_mutual,) = fs.swap(mutual, [F.count(F.lit(1))])
+        if n_mutual == 0:
             break
         pairs = mutual.select(F.col("a").alias("vertex"), F.col("b").alias("match")).unionByName(
             mutual.select(F.col("b").alias("vertex"), F.col("a").alias("match"))
         )
         matched = pairs if matched is None else matched.unionByName(pairs)
-        matched = iterloop.materialize(matched)
+        matched = fs.defer(matched)
         gone = matched.select("vertex")
-        edges = iterloop.materialize(
-            edges.join(gone.withColumnRenamed("vertex", SRC), SRC, "left_anti")
-            .join(gone.withColumnRenamed("vertex", DST), DST, "left_anti")
+        edges, (n_e,) = fs.swap(
+            edges.join(
+                iterloop.hint_state_join(gone.withColumnRenamed("vertex", SRC), n_v),
+                SRC,
+                "left_anti",
+            ).join(
+                iterloop.hint_state_join(gone.withColumnRenamed("vertex", DST), n_v),
+                DST,
+                "left_anti",
+            ),
+            [F.count(F.lit(1))],
         )
 
     if matched is None:

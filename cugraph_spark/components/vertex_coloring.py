@@ -49,6 +49,10 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
     if G.is_directed():
         base_edges = add_reverse_edges(base_edges).distinct()
     edges = iterloop.persist(base_edges)
+    # every non-edge join side below is V-bounded (uncolored/cand/colored
+    # vertex state) — broadcast-hint them so the edge table never shuffles
+    # (checkpoint leaves carry no stats, so the planner cannot see this)
+    hint = lambda df: iterloop.hint_state_join(df, G.number_of_vertices())
 
     uncolored = iterloop.materialize(
         G.vertices_internal.select(
@@ -75,8 +79,8 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
         )
         # rank among uncolored neighbors by (priority, id) descending
         rank = (
-            edges.join(u_src, SRC)
-            .join(u_dst, DST)
+            edges.join(hint(u_src), SRC)
+            .join(hint(u_dst), DST)
             .filter(
                 (F.col("_ps") > F.col("_pd"))
                 | ((F.col("_ps") == F.col("_pd")) & (F.col(SRC) > F.col(DST)))
@@ -86,8 +90,8 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
         )
         if colored is not None:
             used = (
-                edges.join(colored.select(F.col("vertex").alias(SRC), "color"), SRC)
-                .join(uncolored.withColumnRenamed("vertex", DST), DST, "left_semi")
+                edges.join(hint(colored.select(F.col("vertex").alias(SRC), "color")), SRC)
+                .join(hint(uncolored.withColumnRenamed("vertex", DST)), DST, "left_semi")
                 .groupBy(F.col(DST).alias("vertex"))
                 .agg(F.sort_array(F.collect_set("color")).alias("_used"))
             )
@@ -125,8 +129,8 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
             F.col("color").alias("_cd"),
         )
         losers = (
-            edges.join(c_src, SRC)
-            .join(c_dst, DST)
+            edges.join(hint(c_src), SRC)
+            .join(hint(c_dst), DST)
             .filter(
                 (F.col("_cs") == F.col("_cd"))
                 & (
@@ -168,7 +172,7 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
     colored = iterloop.materialize(colored.join(pri, "vertex"))
     for _ in range(3):
         used = (
-            edges.join(colored.select(F.col("vertex").alias(SRC), "color"), SRC)
+            edges.join(hint(colored.select(F.col("vertex").alias(SRC), "color")), SRC)
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.sort_array(F.collect_set("color")).alias("_used"))
         )
@@ -196,8 +200,8 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
             F.col("_mex").alias("_md"), F.col("_want").alias("_wd"),
         )
         losers = (
-            edges.join(w_src, SRC)
-            .join(w_dst, DST)
+            edges.join(hint(w_src), SRC)
+            .join(hint(w_dst), DST)
             .filter(
                 F.col("_ws") & F.col("_wd") & (F.col("_ms") == F.col("_md"))
                 & (

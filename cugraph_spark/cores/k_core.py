@@ -52,6 +52,21 @@ def k_core(
 
 
 def k_core_edges(G: Graph, k: Optional[int] = None) -> DataFrame:
-    """Edge list of the k-core deduped to src<dst pairs (query surface)."""
-    sub = k_core(G, k)
-    return sub.edges().filter(F.col(SRC) < F.col(DST)).select(SRC, DST)
+    """Edge list of the k-core deduped to src<dst pairs (query surface).
+
+    Computes the vertex filter + two semi-joins directly — the Graph
+    surface (k_core) wraps the same rows in a full from_edgelist build
+    (repartition + persist + count + vertex set) that the edge-list
+    consumer immediately flattens away. The parent graph's edge view is
+    already canonical/deduped, so the rebuilt graph's edges() equals
+    these rows exactly."""
+    if G.is_directed():
+        raise ValueError("input graph must be undirected")
+    cn = core_number(G)
+    if k is None:
+        k = cn.agg(F.max("core_number")).collect()[0][0]
+    keep = cn.filter(F.col("core_number") >= k).select("vertex")
+    edges = G.edges()
+    edges = edges.join(keep.withColumnRenamed("vertex", SRC), SRC, "left_semi")
+    edges = edges.join(keep.withColumnRenamed("vertex", DST), DST, "left_semi")
+    return edges.filter(F.col(SRC) < F.col(DST)).select(SRC, DST)

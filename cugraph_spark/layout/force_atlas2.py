@@ -182,11 +182,17 @@ def force_atlas2(
     pos = pos.select(*state_cols, "x", "y").withColumn(
         "_pdx", F.lit(0.0)
     ).withColumn("_pdy", F.lit(0.0))
-    # Swap + scalar aggs fused into one job per use (FusedSwap); the
-    # post-step position update is a pure projection over the stepped
-    # leaf, so it needs no checkpoint job of its own.
-    fs = iterloop.FusedSwap()
-    pos, (n_v, sum_mass) = fs.swap(pos, [F.count(F.lit(1)), F.sum("_mass")])
+    # NOT fused (r6, deliberate): fa2_invariants pins BIT-identical
+    # output across two same-session runs, and the adaptive speed scalars
+    # (g_swing/g_tract) feed the coordinates. Fusing the swap with the
+    # scalar agg made that agg a deep multi-stage job whose float partial
+    # sums merge in task-arrival order — a last-ulp difference in g_swing
+    # amplifies through `speed` into visibly different layouts (caught by
+    # the r6 contract run). The eager materialize keeps the scalar agg a
+    # tiny fixed-shape job over stored blocks, which is the configuration
+    # measured deterministic across rounds 2-6.
+    pos = iterloop.materialize(pos)
+    (n_v, sum_mass) = iterloop.collect_scalars(pos, [F.count("*"), F.sum("_mass")])
     if not n_v:
         return G.unrenumber(pos.select("vertex", "x", "y"), "vertex")
 
@@ -343,15 +349,18 @@ def force_atlas2(
                 ).alias("_dy"),
             )
         )
+        stepped = iterloop.materialize(stepped)
+
         # adaptive speed (Jacomy et al. 2014): swing vs traction —
-        # fused with the stepped-state swap into one job
+        # kept as a separate tiny agg over the materialized blocks for
+        # the bit-determinism reason documented above
         swing_c = F.sqrt(
             (F.col("_dx") - F.col("_pdx")) ** 2 + (F.col("_dy") - F.col("_pdy")) ** 2
         )
         tract_c = F.lit(0.5) * F.sqrt(
             (F.col("_dx") + F.col("_pdx")) ** 2 + (F.col("_dy") + F.col("_pdy")) ** 2
         )
-        stepped, (g_swing, g_tract) = fs.swap(
+        g_swing, g_tract = iterloop.collect_scalars(
             stepped,
             [F.sum(F.col("_mass") * swing_c), F.sum(F.col("_mass") * tract_c)],
         )
@@ -382,8 +391,7 @@ def force_atlas2(
             F.col("_dx").alias("_pdx"),
             F.col("_dy").alias("_pdy"),
         )
-        # pure projection over the stepped leaf — consumers next pass
-        # re-derive the arithmetic for free; no checkpoint job
+        pos = iterloop.materialize(pos)
         if verbose:
             print(f"force_atlas2 iter {it}: speed={speed:.4f} swing={g_swing:.4f}")
 

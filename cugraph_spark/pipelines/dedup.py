@@ -101,11 +101,14 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, bands: int = 8, id_col: str = "doc_id"
+    sig: DataFrame, bands: int = 8, id_col: str = "doc_id", num_hashes: int | None = None
 ) -> DataFrame:
     """Band the signatures; docs sharing any band bucket become candidate
-    pairs (first < second)."""
-    num_hashes = len(sig.select("sig").first()["sig"])
+    pairs (first < second). Pass ``num_hashes`` when known: the fallback
+    introspection (``sig.first()``) is a full Spark job that executes the
+    whole signature pipeline just to measure the array length."""
+    if num_hashes is None:
+        num_hashes = len(sig.select("sig").first()["sig"])
     rows_per_band = num_hashes // bands
     banded = sig.select(
         F.col(id_col),
@@ -167,7 +170,7 @@ def minhash_lsh_duplicates(
     pairs with exact shingle jaccard >= threshold among LSH candidates."""
     sh = shingles(df, id_col, text_col, k).persist()
     sig = minhash_signatures(sh, num_hashes, id_col, seed)
-    cand = minhash_lsh_candidates(sig, bands, id_col)
+    cand = minhash_lsh_candidates(sig, bands, id_col, num_hashes=num_hashes)
     out = verify_jaccard(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
     # dup pairs ≪ corpus: materialize them and drop the doc×shingle cache
     # rather than leaving it squatting in the session's storage pool

@@ -51,6 +51,10 @@ def _walk(
     )
     trace = iterloop.materialize(trace)
 
+    # One fused job per step: the chosen-step swap carries the walker
+    # count and the trace union is a lazy leaf (defer) materialized by
+    # the same action.
+    fs = iterloop.FusedSwap()
     with iterloop.small_plan(spark, len(ids)):
       for step in range(1, max_depth + 1):
         cand = edges.join(
@@ -94,15 +98,16 @@ def _walk(
             chosen = eligible.withColumn("_rn", F.row_number().over(wsel)).filter(
                 F.col("_rn") == 1
             )
-        chosen = iterloop.materialize(
+        chosen, (n_alive,) = fs.swap(
             chosen.select(
                 "walk_id", "start", F.col(SRC).alias("prev"), F.col(DST).alias("cur"),
                 F.col("_w").alias("_step_w"),
-            )
+            ),
+            [F.count(F.lit(1))],
         )
-        if chosen.count() == 0:
+        if n_alive == 0:
             break
-        trace = iterloop.materialize(
+        trace = fs.defer(
             trace.unionByName(
                 chosen.select(
                     "walk_id", F.lit(step).alias("step"), F.col("cur").alias("vertex"),

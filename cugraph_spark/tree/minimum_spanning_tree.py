@@ -35,6 +35,10 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
     chosen = None
 
     n_v = G.number_of_vertices()
+    # One fused job for the pick+count; the other per-round intermediates
+    # (chosen forest, merge pairs, comp relabel) are lazy leaf-swaps
+    # materialized by the next action that consumes them.
+    fs_outer = iterloop.FusedSwap()
     with iterloop.small_plan(edges.sparkSession, n_v):
       while True:
         e = (
@@ -84,20 +88,20 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
                 F.col("_m._cd").alias("_cd"),
             )
         )
-        pick = iterloop.materialize(pick)
-        if pick.count() == 0:
+        pick, (n_pick,) = fs_outer.swap(pick, [F.count(F.lit(1))])
+        if n_pick == 0:
             break
         # dedup the (u,v)/(v,u) double-pick of the same undirected edge
         new_edges = pick.select(
             F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST), F.abs("_w").alias(WEIGHT)
         ).distinct()
         chosen = new_edges if chosen is None else chosen.unionByName(new_edges).distinct()
-        chosen = iterloop.materialize(chosen)
+        chosen = fs_outer.defer(chosen)
 
         # merge components: min-label propagation over the merge pairs
         merge = pick.select(F.col("_cs").alias("a"), F.col("_cd").alias("b"))
         merge = merge.unionByName(merge.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        merge = iterloop.materialize(merge.distinct())
+        merge = fs_outer.defer(merge.distinct())
         labels = merge.select(F.col("a").alias("node")).distinct().select(
             "node", F.col("node").alias("lab")
         )
@@ -105,7 +109,12 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
         fs = iterloop.FusedSwap()  # swap + changed-count fused into one job
         while True:
             nbr = (
-                merge.join(labels.select(F.col("node").alias("a"), "lab"), "a")
+                merge.join(
+                    iterloop.hint_state_join(
+                        labels.select(F.col("node").alias("a"), "lab"), n_v
+                    ),
+                    "a",
+                )
                 .groupBy(F.col("b").alias("node"))
                 .agg(F.min("lab").alias("_n"))
             )
@@ -118,7 +127,7 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
             labels = upd.select("node", "lab")
             if not ch:
                 break
-        comp = iterloop.materialize(
+        comp = fs_outer.defer(
             comp.join(labels.withColumnRenamed("node", "comp"), "comp", "left")
             .select("vertex", F.coalesce("lab", F.col("comp")).alias("comp"))
         )
@@ -138,6 +147,20 @@ def minimum_spanning_tree(G: Graph, weight=None, algorithm="boruvka", ignore_nan
     out = Graph(directed=False)
     out.from_edgelist(ext, SRC, DST, weight=WEIGHT)
     return out
+
+
+def minimum_spanning_tree_edges(G: Graph) -> DataFrame:
+    """Unique (src < dst, weight) external-id rows of the MSF — the
+    edge-list query surface. Skips the Graph rebuild that
+    ``minimum_spanning_tree().edges()`` pays (repartition + persist +
+    count + vertex set around a result that is immediately flattened)."""
+    mst_edges = _boruvka(G, 1.0)
+    out = G.unrenumber(G.unrenumber(mst_edges, SRC), DST)
+    # canonicalize on EXTERNAL ids — _boruvka's least/greatest ran on
+    # internal ids, whose order need not survive unrenumbering
+    return out.select(
+        F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST), WEIGHT
+    )
 
 
 def maximum_spanning_tree(G: Graph, weight=None, algorithm="boruvka", ignore_nan=False) -> Graph:

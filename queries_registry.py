@@ -1225,12 +1225,11 @@ WHERE e.src % 10 = 0 AND e.dst % 10 = 0
 )
 def q_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Induced subgraph on customers with key % 10 == 0 (SURVEY §2.A)."""
-    from cugraph_spark import induced_subgraph
+    from cugraph_spark.community.induced_subgraph import induced_subgraph_edges
 
     g = copurchase_sparse_graph(spark, sf_dir)
     verts = g.nodes().filter(F.col("vertex") % 10 == 0)
-    sub = induced_subgraph(g, verts)
-    return sub.edges().filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return induced_subgraph_edges(g, verts)
 
 
 @register(
@@ -1256,14 +1255,13 @@ WHERE e.src < e.dst
 )
 def q_ego_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-2 ego net of customer 1 (SURVEY §2.A)."""
-    from cugraph_spark import ego_graph
+    from cugraph_spark.community.egonet import ego_graph_edges
 
     g = cust_supp_graph(spark, sf_dir, sparse=True)
     seed = (
         g.nodes().filter(F.col("vertex") < 20_000_000).agg(F.min("vertex")).collect()[0][0]
     )
-    sub = ego_graph(g, seed, radius=2)
-    return sub.edges().filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return ego_graph_edges(g, seed, radius=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1376,7 +1374,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", MINHASH_K).persist()
     sig = minhash_signatures(sh, MINHASH_H, "doc_id", 42)
-    cand = minhash_lsh_candidates(sig, MINHASH_BANDS, "doc_id")
+    cand = minhash_lsh_candidates(sig, MINHASH_BANDS, "doc_id", num_hashes=MINHASH_H)
     out = verify_jaccard(sh, cand, "doc_id")
     return out.select("first", "second", F.round("jaccard", 6).alias("jaccard"))
 
@@ -2651,9 +2649,11 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(g)
 
 
-@register("mst_part_supp")
-def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cugraph_spark import Graph, minimum_spanning_tree
+@_graph_memo
+def part_supp_w_graph(spark: SparkSession, sf_dir: str):
+    """Weighted part<->supplier graph shared by the MST and matching
+    queries (was built twice per mst_matching run)."""
+    from cugraph_spark import Graph
 
     l = _read(spark, sf_dir, "lineitem")
     ps = l.groupBy(
@@ -2662,8 +2662,15 @@ def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum("l_quantity").alias("weight"))
     g = Graph(directed=False)
     g.from_edgelist(ps, "src", "dst", weight="weight")
-    t = minimum_spanning_tree(g)
-    return t.edges().filter(F.col("src") < F.col("dst")).select("src", "dst", "weight")
+    return g
+
+
+@register("mst_part_supp")
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cugraph_spark.tree.minimum_spanning_tree import minimum_spanning_tree_edges
+
+    g = part_supp_w_graph(spark, sf_dir)
+    return minimum_spanning_tree_edges(g)
 
 
 KTRUSS_K = 25  # support range at sf0.01 is 10..89: k=25 peels ~48%% of
@@ -2775,15 +2782,9 @@ ORACLES["vertex_coloring_copurchase_sparse"] = _coloring_oracle()
 
 @register("matching_part_supp")
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cugraph_spark import Graph, approximate_weighted_matching
+    from cugraph_spark import approximate_weighted_matching
 
-    l = _read(spark, sf_dir, "lineitem")
-    ps = l.groupBy(
-        F.col("l_partkey").alias("src"),
-        (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
-    ).agg(F.sum("l_quantity").alias("weight"))
-    g = Graph(directed=False)
-    g.from_edgelist(ps, "src", "dst", weight="weight")
+    g = part_supp_w_graph(spark, sf_dir)
     return approximate_weighted_matching(g)
 
 
