@@ -31,9 +31,16 @@ from ..structure.graph import Graph
 EXACT_BC_WARN_VERTICES = 50_000
 
 
-def _forward(edges, seeds_df):
+def _forward(edges, seeds_df, jk=SRC, gk=DST, state_rows=None):
     """Level-synchronous sigma-counting BFS from all seeds at once.
-    Returns (visited DF (source, vertex, distance, sigma), max_depth)."""
+    Returns (visited DF (source, vertex, distance, sigma), max_depth).
+
+    ``jk``/``gk``: join/aggregation key — callers flip them to DST/SRC on
+    symmetrized graphs (iterloop.sym_aligned_agg) so the per-level sigma
+    groupBy runs inside the cached edge partitioning with no Exchange.
+    ``state_rows``: |sources|x|V| bound for broadcast-hinting the
+    frontier and visited sides (checkpoint leaves carry no stats, so the
+    planner would otherwise sort-merge them against the edge table)."""
     visited = seeds_df.select(
         "source", F.col("source").alias("vertex"), F.lit(0).alias("distance"),
         F.lit(1.0).alias("sigma"),
@@ -45,11 +52,21 @@ def _forward(edges, seeds_df):
     while True:
         nxt = (
             edges.join(
-                frontier.select("source", F.col("vertex").alias(SRC), "sigma"), SRC
+                iterloop.hint_state_join(
+                    frontier.select("source", F.col("vertex").alias(jk), "sigma"),
+                    state_rows,
+                ),
+                jk,
             )
-            .groupBy("source", F.col(DST).alias("vertex"))
+            .groupBy("source", F.col(gk).alias("vertex"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(visited.select("source", "vertex"), ["source", "vertex"], "left_anti")
+            .join(
+                iterloop.hint_state_join(
+                    visited.select("source", "vertex"), state_rows
+                ),
+                ["source", "vertex"],
+                "left_anti",
+            )
         )
         depth += 1
         nxt, (n_new,) = fs.swap(
@@ -94,7 +111,11 @@ def _brandes(G: Graph, k, seed, want_edges: bool, endpoints: bool = False):
 
 def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
                  endpoints: bool = False):
-    visited, dmax = _forward(edges, seeds)
+    state_rows = n * n_sources
+    jk, gk = (
+        (DST, SRC) if iterloop.sym_aligned_agg(G, state_rows) else (SRC, DST)
+    )
+    visited, dmax = _forward(edges, seeds, jk, gk, state_rows)
     visited = iterloop.persist(visited)
 
     # backward accumulation, level by level
@@ -107,18 +128,26 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
     # paid — the final bc aggregation executes the whole chain once
     fs = iterloop.FusedSwap()
     for d in range(dmax, 0, -1):
+        # every non-edge side below is bounded by |sources|x|V| rows —
+        # broadcast-hint them (stats-stripped defer leaves would plan as
+        # per-level sort-merge joins otherwise); the delta/edge-bc
+        # groupBys are keyed on SRC, so with broadcast joins the whole
+        # level runs inside the cached edge partitioning, Exchange-free
         wlev = (
             visited.filter(F.col("distance") == d)
-            .join(delta, ["source", "vertex"])
+            .join(iterloop.hint_state_join(delta, state_rows), ["source", "vertex"])
             .select("source", F.col("vertex").alias(DST), F.col("sigma").alias("_sw"),
                     F.col("delta").alias("_dw"))
         )
         # edges (v -> w) with dist(v) = d-1: contribution sigma_v/sigma_w*(1+delta_w)
         contrib = (
-            edges.join(wlev, DST)
+            edges.join(iterloop.hint_state_join(wlev, state_rows), DST)
             .join(
-                visited.filter(F.col("distance") == d - 1)
-                .select("source", F.col("vertex").alias(SRC), F.col("sigma").alias("_sv")),
+                iterloop.hint_state_join(
+                    visited.filter(F.col("distance") == d - 1)
+                    .select("source", F.col("vertex").alias(SRC), F.col("sigma").alias("_sv")),
+                    state_rows,
+                ),
                 ["source", SRC],
             )
             .withColumn("_c", F.col("_sv") / F.col("_sw") * (1.0 + F.col("_dw")))
@@ -133,7 +162,11 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
             F.sum("_c").alias("_nd")
         )
         delta = fs.defer(
-            delta.join(lev_delta, ["source", "vertex"], "left")
+            delta.join(
+                iterloop.hint_state_join(lev_delta, state_rows),
+                ["source", "vertex"],
+                "left",
+            )
             .select("source", "vertex",
                     (F.col("delta") + F.coalesce("_nd", F.lit(0.0))).alias("delta"))
         )

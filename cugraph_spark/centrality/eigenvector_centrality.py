@@ -62,7 +62,7 @@ def eigenvector_centrality(
                 .groupBy(F.col(DST).alias("vertex"))
                 .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
             )
-            pre = state.join(msgs, "vertex", "left").select(
+            pre = state.join(iterloop.hint_state_join(msgs, n), "vertex", "left").select(
                 "vertex",
                 F.col("_c").alias("_old"),
                 (F.coalesce("_in", F.lit(0.0)) + F.col("_c")).alias("_raw"),

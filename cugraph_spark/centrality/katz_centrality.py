@@ -74,7 +74,7 @@ def katz_centrality(
                     .groupBy(F.col(DST).alias("vertex"))
                     .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
                 )
-                state = verts.join(msgs, "vertex", "left").select(
+                state = verts.join(iterloop.hint_state_join(msgs, n), "vertex", "left").select(
                     "vertex",
                     (F.lit(alpha) * F.coalesce("_in", F.lit(0.0)) + F.lit(beta)).alias("_c"),
                 )
@@ -95,7 +95,7 @@ def katz_centrality(
                 .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
             )
             new_state = (
-                state.join(msgs, "vertex", "left")
+                state.join(iterloop.hint_state_join(msgs, n), "vertex", "left")
                 .select(
                     "vertex",
                     F.col("_c").alias("_old"),

@@ -100,6 +100,16 @@ def weakly_connected_components(
     # fixed job cost vs materialize()+collect_scalars(). Reliable-
     # checkpoint mode keeps the eager two-job cadence inside swap().
     fs = iterloop.FusedSwap()
+    # Aligned-aggregation flip (iterloop.sym_aligned_agg): labels join on
+    # DST, min-label aggregates by SRC inside the cached edge
+    # partitioning — no per-round Exchange. Only fires for graphs whose
+    # stored edge list is symmetric (directed inputs go through the
+    # add_reverse_edges union above, which loses the partitioning anyway).
+    jk, gk = (
+        (DST, SRC)
+        if iterloop.sym_aligned_agg(G, G.number_of_vertices())
+        else (SRC, DST)
+    )
     with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
         while True:
             it += 1
@@ -107,16 +117,22 @@ def weakly_connected_components(
             nbr_min = (
                 edges.join(
                     iterloop.hint_state_join(
-                        labels.select(F.col("vertex").alias(SRC), "label"),
+                        labels.select(F.col("vertex").alias(jk), "label"),
                         G.number_of_vertices(),
                     ),
-                    SRC,
+                    jk,
                 )
-                .groupBy(F.col(DST).alias("vertex"))
+                .groupBy(F.col(gk).alias("vertex"))
                 .agg(F.min("label").alias("_nbr"))
             )
+            # nbr_min is V-bounded: broadcast it so the labels leaf is
+            # not re-shuffled+sorted for a sort-merge join every round
             prop = (
-                labels.join(nbr_min, "vertex", "left")
+                labels.join(
+                    iterloop.hint_state_join(nbr_min, G.number_of_vertices()),
+                    "vertex",
+                    "left",
+                )
                 .select(
                     "vertex",
                     F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias("label"),

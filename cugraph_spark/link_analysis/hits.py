@@ -58,7 +58,7 @@ def hits(
                 .groupBy(F.col(DST).alias("vertex"))
                 .agg(F.sum("_h").alias("_ar"))
             )
-            auth_full = verts.join(auth_raw, "vertex", "left").select(
+            auth_full = verts.join(iterloop.hint_state_join(auth_raw, n), "vertex", "left").select(
                 "vertex", F.coalesce("_ar", F.lit(0.0)).alias("_ar")
             )
             hub_raw = (
@@ -75,8 +75,8 @@ def hits(
             # so a single agg yields both normalizers (the auth_full subtree
             # appears twice but its shuffle is deduped by exchange reuse).
             combined, (hmax, amax) = fs.swap(
-                state.join(hub_raw, "vertex", "left")
-                .join(auth_full, "vertex")
+                state.join(iterloop.hint_state_join(hub_raw, n), "vertex", "left")
+                .join(iterloop.hint_state_join(auth_full, n), "vertex")
                 .select(
                     "vertex",
                     F.col("_h").alias("_old"),

@@ -105,6 +105,9 @@ def _pagerank_impl(
     weighted = weight in edges.columns and G.is_weighted()
     w = F.col(weight) if weighted else F.lit(1.0)
 
+    verts = G.vertices_internal  # (vertex)
+    n = G.number_of_vertices()
+
     # out-weight sums (precomputed_vertex_out_weight: pagerank.py:69 kwarg)
     if precomputed_vertex_out_weight is not None:
         out_w = G.renumber_vertices(precomputed_vertex_out_weight, "vertex").select(
@@ -113,14 +116,31 @@ def _pagerank_impl(
     else:
         out_w = edges.groupBy(SRC).agg(F.sum(w).alias("_ow"))
 
-    norm_edges = (
-        edges.join(out_w, SRC)
-        .select(SRC, DST, (w / F.col("_ow")).alias("_coef"))
-    )
+    # Message direction (iterloop.sym_aligned_agg): on a symmetrized edge
+    # list in the broadcast-state regime, join the rank state on DST and
+    # aggregate by SRC so the per-pass groupBy reuses the cached edge
+    # partitioning and plans with NO Exchange (the row (s,d) then carries
+    # the d->s contribution, so its coefficient is w/out_w(d)). Identical
+    # addend multiset per vertex — (u,v) and (v,u) twins carry the same
+    # weight — so the result is unchanged.
+    if iterloop.sym_aligned_agg(G, n):
+        msg_join, msg_group = DST, SRC
+        norm_edges = (
+            edges.join(
+                iterloop.hint_state_join(
+                    out_w.select(F.col(SRC).alias(DST), "_ow"), n
+                ),
+                DST,
+            )
+            .select(SRC, DST, (w / F.col("_ow")).alias("_coef"))
+        )
+    else:
+        msg_join, msg_group = SRC, DST
+        norm_edges = (
+            edges.join(out_w, SRC)
+            .select(SRC, DST, (w / F.col("_ow")).alias("_coef"))
+        )
     norm_edges = iterloop.persist(norm_edges)
-
-    verts = G.vertices_internal  # (vertex)
-    n = G.number_of_vertices()
 
     # reset vector p
     if personalization is not None:
@@ -178,15 +198,17 @@ def _pagerank_impl(
                 msgs = (
                     norm_edges.join(
                         iterloop.hint_state_join(
-                            state.select(F.col("vertex").alias(SRC), "_rank"), n
+                            state.select(F.col("vertex").alias(msg_join), "_rank"), n
                         ),
-                        SRC,
+                        msg_join,
                     )
-                    .groupBy(F.col(DST).alias("vertex"))
+                    .groupBy(F.col(msg_group).alias("vertex"))
                     .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
                 )
                 new_state = (
-                    state.join(msgs, "vertex", "left")
+                    # msgs is V-bounded: broadcast it so the state leaf
+                    # is not re-shuffled for a sort-merge join each pass
+                    state.join(iterloop.hint_state_join(msgs, n), "vertex", "left")
                     .select(
                         "vertex", "_p", "_dang", F.col("_rank").alias("_prev"),
                         (
@@ -248,11 +270,11 @@ def _pagerank_impl(
                     ranks = (
                         norm_edges.join(
                             iterloop.hint_state_join(
-                                ranks.select(F.col("vertex").alias(SRC), "_rank"), n
+                                ranks.select(F.col("vertex").alias(msg_join), "_rank"), n
                             ),
-                            SRC,
+                            msg_join,
                         )
-                        .groupBy(F.col(DST).alias("vertex"))
+                        .groupBy(F.col(msg_group).alias("vertex"))
                         .agg(
                             (
                                 F.lit((1.0 - alpha) / n)
@@ -270,14 +292,16 @@ def _pagerank_impl(
                     msgs = (
                         norm_edges.join(
                             iterloop.hint_state_join(
-                                ranks.select(F.col("vertex").alias(SRC), "_rank"), n
+                                ranks.select(F.col("vertex").alias(msg_join), "_rank"), n
                             ),
-                            SRC,
+                            msg_join,
                         )
-                        .groupBy(F.col(DST).alias("vertex"))
+                        .groupBy(F.col(msg_group).alias("vertex"))
                         .agg(F.sum(F.col("_coef") * F.col("_rank")).alias("_in"))
                     )
-                    ranks = base.join(msgs, "vertex", "left").select(
+                    ranks = base.join(
+                        iterloop.hint_state_join(msgs, n), "vertex", "left"
+                    ).select(
                         "vertex",
                         (
                             (1.0 - alpha) * F.col("_p")

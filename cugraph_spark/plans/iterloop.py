@@ -391,6 +391,38 @@ def small_plan(
         yield False
 
 
+def sym_aligned_agg(G, n_rows: int | None) -> bool:
+    """Decide whether an iterative loop over ``G`` should FLIP its
+    per-iteration message direction (join the V-sized state on ``dst``
+    and aggregate by ``src``) so the aggregation key matches the cached
+    edge table's build-time ``src`` hash-partitioning.
+
+    On a symmetrized edge list every (u,v) row has a (v,u) twin with the
+    same weight, so "messages into v via rows (u,v)" and "messages into
+    s via rows (s,d)" are the same multiset of addends — flipping the
+    direction changes nothing semantically. What it changes physically:
+    in the broadcast-state regime the state join imposes NO distribution
+    (the state ships to every task), so the only per-iteration Exchange
+    is the message groupBy — keying it on ``src`` lets the partial+final
+    aggregate run entirely inside the cached partitioning and the whole
+    iteration collapses to one stage with zero shuffle (guide §2.4:
+    operations keyed like an existing partitioning share its exchange).
+
+    Above ``BROADCAST_STATE_MAX_ROWS`` the hint is withheld and the
+    state join itself is the consumer of the ``src`` co-partitioning, so
+    the flip is withheld too (it would force an E-sized re-shuffle per
+    pass). Directed / non-symmetrized graphs never flip — the stored
+    direction is semantic there. ``SPARK_GRAFT_SYM_AGG=0`` disables for
+    A/B measurement.
+    """
+    return (
+        n_rows is not None
+        and n_rows <= BROADCAST_STATE_MAX_ROWS
+        and getattr(getattr(G, "properties", None), "symmetrized", False)
+        and os.environ.get("SPARK_GRAFT_SYM_AGG", "1") != "0"
+    )
+
+
 def hint_state_join(state: DataFrame, n_rows: int | None):
     """Broadcast-hint a per-iteration vertex-state table when it is known
     to be small.

@@ -66,18 +66,27 @@ def bfs(
     # (iterloop.FusedSwap): the new frontier is lazily checkpointed and
     # the count agg materializes it, instead of an eager-checkpoint job
     # followed by a count job. Reliable mode keeps the eager cadence.
+    #
+    # Message direction (iterloop.sym_aligned_agg): on a symmetrized edge
+    # list join the frontier on DST and aggregate by SRC so the level's
+    # groupBy reuses the cached edge partitioning (no Exchange). The
+    # frontier neighbors then sit in the join-key column, so min(join
+    # key) is the same deterministic min-predecessor either way.
+    jk, gk = (
+        (DST, SRC) if iterloop.sym_aligned_agg(G, G.number_of_vertices()) else (SRC, DST)
+    )
     fs = iterloop.FusedSwap()
     with iterloop.small_plan(spark, G.number_of_vertices()):
         while depth_limit is None or depth < depth_limit:
             nxt = (
                 edges.join(
                     iterloop.hint_state_join(
-                        frontier.withColumnRenamed("vertex", SRC), G.number_of_vertices()
+                        frontier.withColumnRenamed("vertex", jk), G.number_of_vertices()
                     ),
-                    SRC,
+                    jk,
                 )
-                .groupBy(F.col(DST).alias("vertex"))
-                .agg(F.min(SRC).alias("predecessor"))
+                .groupBy(F.col(gk).alias("vertex"))
+                .agg(F.min(jk).alias("predecessor"))
                 .join(
                     iterloop.hint_state_join(
                         visited.select("vertex"), G.number_of_vertices()
@@ -181,18 +190,25 @@ def multi_source_bfs(
     frontier = visited.select("source", "vertex")
     depth = 0
     fs = iterloop.FusedSwap()  # fused checkpoint+count, as in bfs()
+    # same aligned-aggregation flip as bfs(): frontier joins on DST,
+    # levels aggregate by (source, SRC) inside the cached partitioning
+    jk, gk = (
+        (DST, SRC)
+        if iterloop.sym_aligned_agg(G, G.number_of_vertices() * max(len(ids), 1))
+        else (SRC, DST)
+    )
     with iterloop.small_plan(spark, G.number_of_vertices() * max(len(ids), 1)):
         while depth_limit is None or depth < depth_limit:
             nxt = (
                 edges.join(
                     iterloop.hint_state_join(
-                        frontier.withColumnRenamed("vertex", SRC),
+                        frontier.withColumnRenamed("vertex", jk),
                         G.number_of_vertices() * max(len(ids), 1),
                     ),
-                    SRC,
+                    jk,
                 )
-                .groupBy("source", F.col(DST).alias("vertex"))
-                .agg(F.min(SRC).alias("predecessor"))
+                .groupBy("source", F.col(gk).alias("vertex"))
+                .agg(F.min(jk).alias("predecessor"))
                 .join(
                     iterloop.hint_state_join(
                         visited.select("source", "vertex"),

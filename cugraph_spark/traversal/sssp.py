@@ -74,22 +74,33 @@ def sssp(
         [(sid, 0.0, -1, True)],
         "vertex long, distance double, predecessor long, _impr boolean",
     )
+    # Aligned-aggregation flip (iterloop.sym_aligned_agg): the frontier
+    # joins on DST and candidates aggregate by SRC inside the cached edge
+    # partitioning — no per-round Exchange. Valid because symmetrized
+    # storage keeps w(u,v) == w(v,u) (min-collapse sees both directions'
+    # multiset), so row (s,d) carries the d->s relaxation exactly.
+    jk, gk = (
+        (DST, SRC)
+        if iterloop.sym_aligned_agg(G, G.number_of_vertices())
+        else (SRC, DST)
+    )
+
     def relax(state: DataFrame) -> DataFrame:
         # relax edges out of the state's improved vertices (the frontier)
         cand = (
             edges.join(
                 iterloop.hint_state_join(
                     state.filter(F.col("_impr")).select(
-                        F.col("vertex").alias(SRC), F.col("distance").alias("_d")
+                        F.col("vertex").alias(jk), F.col("distance").alias("_d")
                     ),
                     G.number_of_vertices(),
                 ),
-                SRC,
+                jk,
             )
             .select(
-                F.col(DST).alias("vertex"),
+                F.col(gk).alias("vertex"),
                 (F.col("_d") + F.col("_w")).alias("_nd"),
-                F.col(SRC).alias("_np"),
+                F.col(jk).alias("_np"),
             )
         )
         if cutoff is not None:
@@ -142,22 +153,26 @@ def sssp(
     # which round last improved v; this post-pass makes the output a
     # pure function of the graph (and lets the SQL oracle replicate it).
     n_v = G.number_of_vertices()
+    # same jk/gk flip as the loop: in the flipped case the predecessor
+    # candidates sit in the join-key column and the aggregation runs
+    # inside the cached partitioning (du + w == dv is direction-symmetric
+    # on a symmetrized weighted list)
     preds = (
         edges.join(
             iterloop.hint_state_join(
-                dist.select(F.col("vertex").alias(SRC), F.col("distance").alias("_du")), n_v
+                dist.select(F.col("vertex").alias(jk), F.col("distance").alias("_du")), n_v
             ),
-            SRC,
+            jk,
         )
         .join(
             iterloop.hint_state_join(
-                dist.select(F.col("vertex").alias(DST), F.col("distance").alias("_dv")), n_v
+                dist.select(F.col("vertex").alias(gk), F.col("distance").alias("_dv")), n_v
             ),
-            DST,
+            gk,
         )
         .filter(F.col("_du") + F.col("_w") == F.col("_dv"))
-        .groupBy(F.col(DST).alias("vertex"))
-        .agg(F.min(SRC).alias("_pred"))
+        .groupBy(F.col(gk).alias("vertex"))
+        .agg(F.min(jk).alias("_pred"))
     )
     dist = dist.join(preds, "vertex", "left").select(
         "vertex",

@@ -52,13 +52,15 @@ def main() -> None:
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
 
+    # mirrors bench _build_cs: no .distinct() (r6 — from_edgelist dedups
+    # after its one build shuffle; the pre-distinct was a redundant
+    # second E-sized Exchange)
     cs = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
         )
-        .distinct()
     )
     save("graph_build_input", tag, ("bench _build_cs input (join+distinct) plan", explain_str(cs)))
 
@@ -77,17 +79,27 @@ def main() -> None:
     # implementation builds it (uniform p, all-have-in branch)
     edges = g.edgelist
     out_w = edges.groupBy(SRC).agg(F.sum(F.lit(1.0)).alias("_ow"))
-    norm_edges = edges.join(out_w, SRC).select(SRC, DST, (F.lit(1.0) / F.col("_ow")).alias("_coef"))
+    # jk/gk mirror the implementation's aligned-aggregation flip
+    # (iterloop.sym_aligned_agg): on symmetrized graphs in the broadcast
+    # regime the state joins on DST and the message agg keys on SRC so it
+    # runs inside the cached edge partitioning (no Exchange)
+    jk, gk = (DST, SRC) if iterloop.sym_aligned_agg(g, n) else (SRC, DST)
+    if jk == DST:
+        norm_edges = edges.join(
+            iterloop.hint_state_join(out_w.select(F.col(SRC).alias(DST), "_ow"), n), DST
+        ).select(SRC, DST, (F.lit(1.0) / F.col("_ow")).alias("_coef"))
+    else:
+        norm_edges = edges.join(out_w, SRC).select(SRC, DST, (F.lit(1.0) / F.col("_ow")).alias("_coef"))
     ranks0 = g.vertices_internal.select("vertex", F.lit(1.0 / n).alias("_rank"))
     ranks0 = iterloop.materialize(ranks0)
     alpha = 0.85
     with iterloop.small_plan(spark, n):
         body = (
             norm_edges.join(
-                iterloop.hint_state_join(ranks0.select(F.col("vertex").alias(SRC), "_rank"), n),
-                SRC,
+                iterloop.hint_state_join(ranks0.select(F.col("vertex").alias(jk), "_rank"), n),
+                jk,
             )
-            .groupBy(F.col(DST).alias("vertex"))
+            .groupBy(F.col(gk).alias("vertex"))
             .agg((F.lit((1.0 - alpha) / n) + alpha * F.sum(F.col("_coef") * F.col("_rank"))).alias("_rank"))
         )
         save("pagerank_loop_body", tag, ("fast-path per-iteration join+agg (inside small_plan)", explain_str(body)))
@@ -100,9 +112,9 @@ def main() -> None:
     with iterloop.small_plan(spark, n):
         nxt = (
             edges.select(SRC, DST)
-            .join(iterloop.hint_state_join(frontier.withColumnRenamed("vertex", SRC), n), SRC)
-            .groupBy(F.col(DST).alias("vertex"))
-            .agg(F.min(SRC).alias("predecessor"))
+            .join(iterloop.hint_state_join(frontier.withColumnRenamed("vertex", jk), n), jk)
+            .groupBy(F.col(gk).alias("vertex"))
+            .agg(F.min(jk).alias("predecessor"))
             .join(iterloop.hint_state_join(visited.select("vertex"), n), "vertex", "left_anti")
         )
         save("bfs_level_body", tag, ("per-level expand+dedup+anti-join (inside small_plan)", explain_str(nxt)))
@@ -114,8 +126,8 @@ def main() -> None:
     with iterloop.small_plan(spark, n):
         nbr_min = (
             edges.select(SRC, DST)
-            .join(iterloop.hint_state_join(labels.select(F.col("vertex").alias(SRC), "label"), n), SRC)
-            .groupBy(F.col(DST).alias("vertex"))
+            .join(iterloop.hint_state_join(labels.select(F.col("vertex").alias(jk), "label"), n), jk)
+            .groupBy(F.col(gk).alias("vertex"))
             .agg(F.min("label").alias("_nbr"))
         )
         prop = labels.join(nbr_min, "vertex", "left").select(
@@ -145,16 +157,17 @@ def main() -> None:
         [(1, 0.0, -1, True)], "vertex long, distance double, predecessor long, _impr boolean"
     )
     dist0 = iterloop.materialize(dist0)
+    jk2, gk2 = (DST, SRC) if iterloop.sym_aligned_agg(g2, n2) else (SRC, DST)
     with iterloop.small_plan(spark, n2):
         cand = (
             e2.join(
                 iterloop.hint_state_join(
-                    dist0.filter(F.col("_impr")).select(F.col("vertex").alias(SRC), F.col("distance").alias("_d")),
+                    dist0.filter(F.col("_impr")).select(F.col("vertex").alias(jk2), F.col("distance").alias("_d")),
                     n2,
                 ),
-                SRC,
+                jk2,
             )
-            .select(F.col(DST).alias("vertex"), (F.col("_d") + F.col("_w")).alias("_nd"), F.col(SRC).alias("_np"))
+            .select(F.col(gk2).alias("vertex"), (F.col("_d") + F.col("_w")).alias("_nd"), F.col(jk2).alias("_np"))
             .groupBy("vertex")
             .agg(F.min(F.struct(F.col("_nd"), F.col("_np"))).alias("_best"))
             .select("vertex", F.col("_best._nd").alias("_nd"), F.col("_best._np").alias("_np"))

@@ -154,6 +154,79 @@ def test_sortmerge_state_join_reuses_cached_edge_partitioning(spark, monkeypatch
 
 
 @needs_testdata
+def test_sym_aligned_agg_removes_iteration_exchange(spark, monkeypatch):
+    """r6 aligned-aggregation flip: on a symmetrized graph in the
+    broadcast regime the loop joins the V-sized state on DST and keys
+    the message aggregation on SRC, so the aggregate runs inside the
+    cached edge partitioning — the per-iteration plan above the cache
+    scan must contain NO Exchange (the only exchange left is the
+    broadcast of the state itself). Also proves the flipped orientation
+    computes the same result as the base one for all four headline
+    loops (same addend multisets per vertex on a symmetric edge list)."""
+    from cugraph_spark import (
+        Graph, pagerank, bfs, sssp, weakly_connected_components,
+    )
+    from cugraph_spark.plans import iterloop
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = lineitem.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").alias("w"),
+    )
+    g = Graph(directed=False)
+    g.from_edgelist(edges, "src", "dst", weight="w")
+    n = g.number_of_vertices()
+    assert iterloop.sym_aligned_agg(g, n)
+
+    # plan shape: flipped loop body is exchange-free above the cache scan
+    ranks = iterloop.materialize(
+        g.vertices_internal.select("vertex", F.lit(1.0).alias("_rank"))
+    )
+    body = (
+        g.edgelist.join(
+            iterloop.hint_state_join(
+                ranks.select(F.col("vertex").alias("dst"), "_rank"), n
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vertex"))
+        .agg(F.sum("_rank").alias("_in"))
+    )
+    plan = _plan(body)
+    head = plan.split("InMemoryRelation")[0]
+    assert "BroadcastHashJoin" in head, plan
+    assert "Exchange" not in head.replace("BroadcastExchange", ""), plan
+
+    # equivalence: base orientation vs flip, all four loops
+    def run_all():
+        pr = {
+            r[0]: r[1]
+            for r in pagerank(
+                g, max_iter=8, tol=0.0, fail_on_nonconvergence=False
+            ).collect()
+        }
+        bf = {r[0]: (r[1], r[2]) for r in bfs(g, 1).collect()}
+        wc = {r[0]: r[1] for r in weakly_connected_components(g).collect()}
+        ss = {r[0]: (r[1], r[2]) for r in sssp(g, 1).collect()}
+        return pr, bf, wc, ss
+
+    monkeypatch.setenv("SPARK_GRAFT_SYM_AGG", "0")
+    base_pr, base_bf, base_wc, base_ss = run_all()
+    monkeypatch.setenv("SPARK_GRAFT_SYM_AGG", "1")
+    flip_pr, flip_bf, flip_wc, flip_ss = run_all()
+    # bfs/wcc are integer-valued and tie-broken by min: exactly equal
+    assert base_bf == flip_bf
+    assert base_wc == flip_wc
+    # sssp minimizes over identical (distance, predecessor) candidate
+    # structs: exactly equal
+    assert base_ss == flip_ss
+    # pagerank sums the same addends in a different order: ulp tolerance
+    assert base_pr.keys() == flip_pr.keys()
+    assert all(abs(base_pr[k] - flip_pr[k]) < 1e-12 for k in base_pr)
+    g.edgelist.unpersist()
+
+
+@needs_testdata
 def test_hot_path_stays_in_wholestage_codegen(spark):
     """Degree counting (the canonical edge aggregation) must run inside
     whole-stage codegen — no row-at-a-time Python in the hot path."""
