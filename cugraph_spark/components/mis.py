@@ -28,6 +28,13 @@ def maximal_independent_set(G: Graph, seed: int = 42) -> DataFrame:
     mis = None
 
     n_v = G.number_of_vertices()
+    # On symmetrized storage flip the message direction so the per-round
+    # aggregations (neighbor-min priority, winner-neighbor distinct) key
+    # on the cached edge table's src partitioning — same identity and
+    # gate as the headline loops (iterloop.sym_aligned_agg).
+    m_pri, m_agg = (
+        (DST, SRC) if iterloop.sym_aligned_agg(G, n_v) else (SRC, DST)
+    )
     # One fused job per round: winners/mis are lazy leaf-swaps (defer) and
     # the active-set swap's fused count agg is the round's single action.
     fs = iterloop.FusedSwap()
@@ -37,19 +44,19 @@ def maximal_independent_set(G: Graph, seed: int = 42) -> DataFrame:
         pri = active.select("vertex", F.xxhash64("vertex", F.lit(seed)).alias("_p"))
         nbr_min = (
             edges.join(
-                iterloop.hint_state_join(pri.select(F.col("vertex").alias(SRC), "_p"), n_v),
-                SRC,
+                iterloop.hint_state_join(pri.select(F.col("vertex").alias(m_pri), "_p"), n_v),
+                m_pri,
             )
             .join(
-                iterloop.hint_state_join(active.withColumnRenamed("vertex", DST), n_v),
-                DST,
+                iterloop.hint_state_join(active.withColumnRenamed("vertex", m_agg), n_v),
+                m_agg,
                 "left_semi",
             )
-            .groupBy(F.col(DST).alias("vertex"))
+            .groupBy(F.col(m_agg).alias("vertex"))
             .agg(F.min("_p").alias("_np"))
         )
         winners = (
-            pri.join(nbr_min, "vertex", "left")
+            pri.join(iterloop.hint_state_join(nbr_min, n_v), "vertex", "left")
             .filter(F.col("_np").isNull() | (F.col("_p") < F.col("_np")))
             .select("vertex")
         )
@@ -57,12 +64,17 @@ def maximal_independent_set(G: Graph, seed: int = 42) -> DataFrame:
         mis = winners if mis is None else fs.defer(mis.unionByName(winners))
         # remove winners and their neighbors
         nbrs = (
-            edges.join(winners.withColumnRenamed("vertex", SRC), SRC, "left_semi")
-            .select(F.col(DST).alias("vertex"))
+            edges.join(
+                iterloop.hint_state_join(winners.withColumnRenamed("vertex", m_pri), n_v),
+                m_pri,
+                "left_semi",
+            )
+            .select(F.col(m_agg).alias("vertex"))
             .distinct()
         )
         active, (n_active,) = fs.swap(
-            active.join(winners, "vertex", "left_anti").join(nbrs, "vertex", "left_anti"),
+            active.join(iterloop.hint_state_join(winners, n_v), "vertex", "left_anti")
+            .join(iterloop.hint_state_join(nbrs, n_v), "vertex", "left_anti"),
             [F.count(F.lit(1))],
         )
         seed += 1

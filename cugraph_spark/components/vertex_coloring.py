@@ -98,11 +98,11 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
         else:
             used = None
 
-        cand = uncolored.join(rank, "vertex", "left").withColumn(
+        cand = uncolored.join(hint(rank), "vertex", "left").withColumn(
             "_rank", F.coalesce("_rank", F.lit(0))
         )
         if used is not None:
-            cand = cand.join(used, "vertex", "left").withColumn(
+            cand = cand.join(hint(used), "vertex", "left").withColumn(
                 "_used", F.coalesce("_used", F.expr("array()"))
             )
         else:
@@ -142,7 +142,7 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
             .distinct()
         )
         newly = fs.defer(
-            cand.join(losers, "vertex", "left_anti").select("vertex", "color")
+            cand.join(hint(losers), "vertex", "left_anti").select("vertex", "color")
         )
 
         colored = (
@@ -150,7 +150,7 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
             else fs.defer(colored.unionByName(newly))
         )
         uncolored, (n_uncolored,) = fs.swap(
-            uncolored.join(newly.select("vertex"), "vertex", "left_anti"),
+            uncolored.join(hint(newly.select("vertex")), "vertex", "left_anti"),
             [F.count(F.lit(1))],
         )
 
@@ -169,7 +169,7 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
     pri = G.vertices_internal.select(
         "vertex", F.xxhash64("vertex", F.lit(seed)).alias("_p")
     )
-    colored = iterloop.materialize(colored.join(pri, "vertex"))
+    colored = iterloop.materialize(colored.join(hint(pri), "vertex"))
     for _ in range(3):
         used = (
             edges.join(hint(colored.select(F.col("vertex").alias(SRC), "color")), SRC)
@@ -177,7 +177,7 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
             .agg(F.sort_array(F.collect_set("color")).alias("_used"))
         )
         prop = (
-            colored.join(used, "vertex", "left")
+            colored.join(hint(used), "vertex", "left")
             .withColumn("_used", F.coalesce("_used", F.expr("array()")))
             .withColumn(
                 "_mex",
@@ -213,7 +213,7 @@ def _vertex_coloring_impl(G: Graph, seed: int, max_colors: int) -> DataFrame:
             .distinct()
         )
         colored = iterloop.materialize(
-            prop.join(losers.withColumn("_lose", F.lit(True)), "vertex", "left")
+            prop.join(hint(losers.withColumn("_lose", F.lit(True))), "vertex", "left")
             .select(
                 "vertex",
                 F.when(

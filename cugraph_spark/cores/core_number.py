@@ -68,7 +68,11 @@ def core_number(G: Graph, degree_type: str = "bidirectional") -> DataFrame:
             .agg(h_expr.alias("_h"))
         )
         new_state = (
-            state.join(nbr, "vertex", "left")
+            state.join(
+                iterloop.hint_state_join(nbr, G.number_of_vertices()),
+                "vertex",
+                "left",
+            )
             .select(
                 "vertex",
                 F.least(F.col("c"), F.coalesce("_h", F.lit(0))).alias("c"),

@@ -166,6 +166,7 @@ def test_sym_aligned_agg_removes_iteration_exchange(spark, monkeypatch):
     from cugraph_spark import (
         Graph, pagerank, bfs, sssp, weakly_connected_components,
     )
+    from cugraph_spark.components.mis import maximal_independent_set
     from cugraph_spark.plans import iterloop
 
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -208,15 +209,19 @@ def test_sym_aligned_agg_removes_iteration_exchange(spark, monkeypatch):
         bf = {r[0]: (r[1], r[2]) for r in bfs(g, 1).collect()}
         wc = {r[0]: r[1] for r in weakly_connected_components(g).collect()}
         ss = {r[0]: (r[1], r[2]) for r in sssp(g, 1).collect()}
-        return pr, bf, wc, ss
+        mi = {r[0] for r in maximal_independent_set(g).collect()}
+        return pr, bf, wc, ss, mi
 
     monkeypatch.setenv("SPARK_GRAFT_SYM_AGG", "0")
-    base_pr, base_bf, base_wc, base_ss = run_all()
+    base_pr, base_bf, base_wc, base_ss, base_mi = run_all()
     monkeypatch.setenv("SPARK_GRAFT_SYM_AGG", "1")
-    flip_pr, flip_bf, flip_wc, flip_ss = run_all()
+    flip_pr, flip_bf, flip_wc, flip_ss, flip_mi = run_all()
     # bfs/wcc are integer-valued and tie-broken by min: exactly equal
     assert base_bf == flip_bf
     assert base_wc == flip_wc
+    # mis compares integer xxhash64 priorities over the same neighbor
+    # sets: the flipped aggregation orientation (r6 sweep) is exact
+    assert base_mi == flip_mi
     # sssp minimizes over identical (distance, predecessor) candidate
     # structs: exactly equal
     assert base_ss == flip_ss
