@@ -31,7 +31,16 @@ def extract_bfs_paths(
         F.col("destination").cast(vtype)
     )
 
-    preds = bfs_df.select("vertex", "predecessor")
+    # The predecessor table is loop-invariant and V-sized while the state
+    # is destinations-sized: hash-partition + sort it ON the join key once
+    # and persist, so every step's sort-merge join reads it exchange-free
+    # and sort-free from the cache and only the tiny state side shuffles
+    # (the V-sized re-shuffle per hop is gone).
+    preds = iterloop.persist(
+        bfs_df.select(F.col("vertex").alias("_cur"), "predecessor")
+        .repartition("_cur")
+        .sortWithinPartitions("_cur")
+    )
     state = dests.select(
         "destination",
         F.array(F.col("destination")).alias("path"),
@@ -42,7 +51,7 @@ def extract_bfs_paths(
     fs = iterloop.FusedSwap()  # swap + open-count fused into one job
     for it in range(max_depth):
         step = (
-            state.join(preds.withColumnRenamed("vertex", "_cur"), "_cur", "left")
+            state.join(preds, "_cur", "left")
             .select(
                 "destination",
                 F.when(
@@ -64,6 +73,7 @@ def extract_bfs_paths(
         state = step
         if not open_cnt:
             break
+    preds.unpersist()  # state is a checkpointed leaf; safe to drop now
     return state.select("destination", "path")
 
 

@@ -118,7 +118,9 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
                 .groupBy(F.col("b").alias("node"))
                 .agg(F.min("lab").alias("_n"))
             )
-            upd = labels.join(nbr, "node", "left").select(
+            upd = labels.join(
+                iterloop.hint_state_join(nbr, n_v), "node", "left"
+            ).select(
                 "node",
                 F.least(F.col("lab"), F.coalesce("_n", F.col("lab"))).alias("lab"),
                 F.col("lab").alias("_o"),
@@ -128,7 +130,11 @@ def _boruvka(G: Graph, sign: float) -> DataFrame:
             if not ch:
                 break
         comp = fs_outer.defer(
-            comp.join(labels.withColumnRenamed("node", "comp"), "comp", "left")
+            comp.join(
+                iterloop.hint_state_join(labels.withColumnRenamed("node", "comp"), n_v),
+                "comp",
+                "left",
+            )
             .select("vertex", F.coalesce("lab", F.col("comp")).alias("comp"))
         )
 
