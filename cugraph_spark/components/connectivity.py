@@ -217,7 +217,7 @@ def _max_coloring(
         )
         own = F.struct("cp", "cid")
         new = (
-            c.join(nbr, "vertex", "left")
+            c.join(iterloop.hint_state_join(nbr, n_hint), "vertex", "left")
             .join(
                 # cid-keyed: color classes consolidate -> skewed key, see
                 # _skew_safe_hint (broadcast far past the state threshold)
@@ -301,7 +301,10 @@ def strongly_connected_components(
             d, r2 = _max_coloring(verts, e_cls, DST, SRC, n_v, seed=42)
             inner += r2
             state = cf.select("vertex", F.col("cid").alias("_root")).join(
-                d.select("vertex", F.col("cid").alias("_d")), "vertex"
+                iterloop.hint_state_join(
+                    d.select("vertex", F.col("cid").alias("_d")), n_v
+                ),
+                "vertex",
             )
             member = state.filter(F.col("_root") == F.col("_d")).select("vertex", "_root")
             # (4) deterministic labels: min vertex id per found SCC
@@ -321,11 +324,24 @@ def strongly_connected_components(
                 .join(iterloop.hint_state_join(d_d, n_v), DST)
                 .filter(F.col("_ds") == F.col("_dd"))
                 .select(SRC, DST)
-                .join(found.select(F.col("vertex").alias(SRC)), SRC, "left_anti")
-                .join(found.select(F.col("vertex").alias(DST)), DST, "left_anti")
+                .join(
+                    iterloop.hint_state_join(
+                        found.select(F.col("vertex").alias(SRC)), n_v
+                    ),
+                    SRC,
+                    "left_anti",
+                )
+                .join(
+                    iterloop.hint_state_join(
+                        found.select(F.col("vertex").alias(DST)), n_v
+                    ),
+                    DST,
+                    "left_anti",
+                )
             )
             verts, (n_rem,) = fs.swap(
-                verts.join(found, "vertex", "left_anti"), [F.count(F.lit(1))]
+                verts.join(iterloop.hint_state_join(found, n_v), "vertex", "left_anti"),
+                [F.count(F.lit(1))],
             )
 
     global _last_scc_stats
