@@ -94,7 +94,7 @@ def _split_disconnected(
             .groupBy(F.col(DST).alias("vertex"))
             .agg(F.min("label").alias("_n"))
         )
-        prop = labels.join(nbr, "vertex", "left").select(
+        prop = labels.join(hint(nbr), "vertex", "left").select(
             "vertex",
             F.least(F.col("label"), F.coalesce("_n", F.col("label"))).alias("label"),
             F.col("label").alias("_o"),
@@ -182,7 +182,13 @@ def leiden(
             )
             mapping = fs_lvl.defer(
                 mapping.join(
-                    assign.select(F.col("vertex").alias("community"), F.col("community").alias("_n")),
+                    iterloop.hint_state_join(
+                        assign.select(
+                            F.col("vertex").alias("community"),
+                            F.col("community").alias("_n"),
+                        ),
+                        n_hint,
+                    ),
                     "community",
                 ).select("vertex", F.col("_n").alias("community"))
             )
@@ -193,7 +199,9 @@ def leiden(
                 # only the exit level's modularity is reported — skip
                 # the two-job Q pass on intermediate levels (the local
                 # tail below reports its own Q when it takes over)
-                q_final = modularity_of(edges, assign, resolution, two_m=two_m)
+                q_final = modularity_of(
+                    edges, assign, resolution, two_m=two_m, n_verts=n_hint
+                )
                 break
             # dendrogram tail (see louvain.py): driver-sized coarsened
             # levels finish locally, with the Leiden connectivity split
@@ -208,8 +216,20 @@ def leiden(
                 mapping = _apply_tail(mapping, comm)
                 break
             edges, (n_level_edges,) = fs_lvl.swap(
-                edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
-                .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
+                edges.join(
+                    iterloop.hint_state_join(
+                        assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")),
+                        n_hint,
+                    ),
+                    SRC,
+                )
+                .join(
+                    iterloop.hint_state_join(
+                        assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")),
+                        n_hint,
+                    ),
+                    DST,
+                )
                 .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
                 .agg(F.sum("_w").alias("_w")),
                 [F.count(F.lit(1))],

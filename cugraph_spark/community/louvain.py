@@ -116,16 +116,22 @@ def modularity_of(
     assign: DataFrame,
     resolution: float = 1.0,
     two_m: float | None = None,
+    n_verts: int | None = None,
 ) -> float:
     """Q over a symmetrized weighted edge list and (vertex, community).
 
     Q = Σ_C [ Σ_in(C)/2m − γ·(σ_C/2m)² ] with Σ_in counting both
     directions of each intra-community edge (edges are symmetrized).
     Pass ``two_m`` (total edge weight) when the caller already knows it
-    to skip one aggregation job.
+    to skip one aggregation job, and ``n_verts`` (an upper bound on the
+    assignment's row count) so the two V-bounded join sides are
+    broadcast-hinted instead of planning as sort-merge joins that
+    shuffle the edge table twice (stats-less leaves, r6 sweep).
     """
-    e = edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
-    e = e.join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
+    a_src = assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs"))
+    a_dst = assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd"))
+    e = edges.join(iterloop.hint_state_join(a_src, n_verts), SRC)
+    e = e.join(iterloop.hint_state_join(a_dst, n_verts), DST)
     if two_m is None:
         two_m = e.agg(F.sum("_w")).collect()[0][0]
     if not two_m:
@@ -389,7 +395,9 @@ def _one_level(
     assign = iterloop.materialize(assign)
     swapper.close()  # assign is materialized; drop the best-state window
     q_final = (
-        modularity_of(edges, assign, resolution, two_m=two_m) if compute_q else None
+        modularity_of(edges, assign, resolution, two_m=two_m, n_verts=n_verts_hint)
+        if compute_q
+        else None
     )
     deg.unpersist()
     return assign, q_final
@@ -449,7 +457,13 @@ def louvain(
             )
             mapping = fs_lvl.defer(
                 mapping.join(
-                    assign.select(F.col("vertex").alias("community"), F.col("community").alias("_next")),
+                    iterloop.hint_state_join(
+                        assign.select(
+                            F.col("vertex").alias("community"),
+                            F.col("community").alias("_next"),
+                        ),
+                        G.number_of_vertices(),
+                    ),
                     "community",
                 ).select("vertex", F.col("_next").alias("community"))
             )
@@ -457,7 +471,9 @@ def louvain(
                 assign, [F.countDistinct("community"), F.count("*")]
             )
             if n_comms == n_verts or level == max_level - 1:
-                q_final = modularity_of(edges, assign, resolution)
+                q_final = modularity_of(
+                    edges, assign, resolution, n_verts=G.number_of_vertices()
+                )
                 break
             # dendrogram tail: coarsened levels shrink geometrically — once
             # a level graph fits on the driver, finish the remaining levels
@@ -474,8 +490,20 @@ def louvain(
                 break
             # coarsen: contract communities (cpp graph_contraction :267)
             edges, (n_level_edges,) = fs_lvl.swap(
-                edges.join(assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")), SRC)
-                .join(assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")), DST)
+                edges.join(
+                    iterloop.hint_state_join(
+                        assign.select(F.col("vertex").alias(SRC), F.col("community").alias("_cs")),
+                        G.number_of_vertices(),
+                    ),
+                    SRC,
+                )
+                .join(
+                    iterloop.hint_state_join(
+                        assign.select(F.col("vertex").alias(DST), F.col("community").alias("_cd")),
+                        G.number_of_vertices(),
+                    ),
+                    DST,
+                )
                 .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
                 .agg(F.sum("_w").alias("_w")),
                 [F.count(F.lit(1))],
