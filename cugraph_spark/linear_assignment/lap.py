@@ -263,7 +263,9 @@ def hungarian_auction(
                 # termination and optimality proofs need (r3 ADVICE).
                 lo = float(a_min or 0.0) - spread - 1.0
                 bids = (
-                    best.join(second, "_worker", "left")
+                    best.join(
+                        iterloop.hint_state_join(second, n_workers), "_worker", "left"
+                    )
                     .select(
                         "_task",
                         "_worker",
@@ -329,7 +331,9 @@ def hungarian_auction(
     assigned = state.filter(F.col("_owner").isNotNull()).select(
         F.col("_owner").alias("_worker"), "_task"
     )
-    result = assigned.join(cand, ["_worker", "_task"]).select(
+    result = iterloop.hint_state_join(assigned, n_workers).join(
+        cand, ["_worker", "_task"]
+    ).select(
         F.col("_worker").alias("vertex"),
         F.col("_task").alias("assignment"),
         (-F.col("_a")).alias("_cost"),
