@@ -142,6 +142,43 @@ for scale in scales:
         gd.edgelist.unpersist()
         gd.vertices_internal.unpersist()
 
+    if "core_number" in ops:
+        # h-index fixpoint (cores/core_number.py) — r6 sweep evidence:
+        # per-round state update is a hinted broadcast join below the
+        # state threshold; the E-side h-index agg keys on the cached
+        # src partitioning (already aligned).
+        from cugraph_spark import core_number
+
+        t0 = time.time()
+        row = core_number(g).agg(
+            F.max("core_number").alias("m"), F.count("*").alias("n")
+        ).collect()[0]
+        res["core_number_max"] = int(row["m"])
+        res["core_number"] = round(time.time() - t0, 1)
+
+    if "mis" in ops:
+        # Luby MIS (components/mis.py) — r6 sweep evidence: both
+        # per-round aggs flipped onto the cached src partitioning and
+        # every V-bounded join side hinted.
+        from cugraph_spark import maximal_independent_set
+
+        t0 = time.time()
+        res["mis_size"] = maximal_independent_set(g, seed=42).count()
+        res["mis"] = round(time.time() - t0, 1)
+
+    if "coloring" in ops:
+        # Speculative rank-based coloring (components/vertex_coloring.py)
+        # — r6 sweep evidence for the hinted V-joins + the deliberately
+        # dst-keyed (ReusedExchange) compaction aggs.
+        from cugraph_spark import vertex_coloring
+
+        t0 = time.time()
+        row = vertex_coloring(g, seed=42).agg(
+            F.countDistinct("color").alias("c")
+        ).collect()[0]
+        res["coloring_colors"] = int(row["c"])
+        res["coloring"] = round(time.time() - t0, 1)
+
     if "betweenness" in ops:
         # The reference's own pytest-bench runs betweenness_centrality
         # with k=10 sampled sources at R-MAT scale-20
