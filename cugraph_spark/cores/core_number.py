@@ -25,6 +25,22 @@ from ..structure.graph import Graph
 from ..structure.symmetrize import add_reverse_edges
 
 
+# Probe surface for scale diagnostics (same pattern as
+# connectivity._last_scc_stats): rounds + per-round changed-vertex counts
+# of the most recent core_number call in this process.
+_last_stats: dict | None = None
+
+# A frontier recompute (recompute h only for neighbors-of-changed once
+# the changed set is small — exact, since c(v) can only change when a
+# neighbor's c changed) was implemented and A/B'd at R-MAT scale-18
+# (42 rounds, changed counts < 1k of 174k from round ~14): interleaved
+# arms read full 37.4/44.2 s vs frontier 44.2/50.7 s with identical
+# outputs. The loop is SCAN-bound, not agg-bound — the frontier's two
+# extra per-round semi-join passes over E cost more than the shrunken
+# collect_list saves — so the full-recompute round body below is the
+# measured winner and the frontier was reverted (r6).
+
+
 def core_number(G: Graph, degree_type: str = "bidirectional") -> DataFrame:
     """Returns (vertex, core_number). Multigraphs are rejected
     (reference: core_number.py input checks); self-loops ignored."""
@@ -52,15 +68,17 @@ def core_number(G: Graph, degree_type: str = "bidirectional") -> DataFrame:
     ).cast("int")
 
     it = 0
+    changed_curve: list[int] = []
+    n_v = G.number_of_vertices()
     fs = iterloop.FusedSwap()  # swap + changed-count fused into one job
-    with iterloop.small_plan(e.sparkSession, G.number_of_vertices()):
+    with iterloop.small_plan(e.sparkSession, n_v):
       while True:
         it += 1
         nbr = (
             e.join(
                 iterloop.hint_state_join(
                     state.select(F.col("vertex").alias(DST), F.col("c").alias("_nc")),
-                    G.number_of_vertices(),
+                    n_v,
                 ),
                 DST,
             )
@@ -69,7 +87,7 @@ def core_number(G: Graph, degree_type: str = "bidirectional") -> DataFrame:
         )
         new_state = (
             state.join(
-                iterloop.hint_state_join(nbr, G.number_of_vertices()),
+                iterloop.hint_state_join(nbr, n_v),
                 "vertex",
                 "left",
             )
@@ -83,8 +101,12 @@ def core_number(G: Graph, degree_type: str = "bidirectional") -> DataFrame:
             new_state, [F.sum((F.col("c") != F.col("_old")).cast("long"))]
         )
         state = new_state.select("vertex", "c")
+        changed_curve.append(int(changes or 0))
         if not changes:
             break
+
+    global _last_stats
+    _last_stats = {"rounds": it, "changed": changed_curve}
 
     out = G.vertices_internal.join(state, "vertex", "left").select(
         "vertex", F.coalesce("c", F.lit(0)).cast("long").alias("core_number")
