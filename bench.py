@@ -165,6 +165,40 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+
+    # -- optional contract-suite timings (r6 verdict #1, additions-only) ----
+    # The headline section times 6 of the 50 contract queries; optimization
+    # work on the other 44 was invisible to PERF_rNN.json. With
+    # SPARK_GRAFT_BENCH_SUITE=contract every declared query is timed once
+    # (noop sink, guide §1.4 — computes every column of every row, no
+    # result rows cross to the driver) and reported as additional
+    # ``suite:<name>`` entries in the SAME ``queries`` dict. The 6 headline
+    # entries, their methodology and ``value`` are byte-for-byte unchanged;
+    # with the env var unset the output line is identical to r6's.
+    # SPARK_GRAFT_SUITE_SF_DIR picks the suite's data dir (default: the
+    # headline SF_DIR) because several contract fixtures (quadratic
+    # co-purchase) are sized for the small correctness SFs.
+    suite_extra: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SUITE") == "contract":
+        from queries_registry import QUERIES
+
+        suite_dir = os.environ.get("SPARK_GRAFT_SUITE_SF_DIR", SF_DIR)
+        suite_times: dict[str, float] = {}
+        for qname in sorted(QUERIES):
+            spark.sparkContext.setJobDescription(f"suite:{qname}")
+            t0 = time.time()
+            QUERIES[qname](spark, suite_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            suite_times[qname] = round(time.time() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
+        for qname, sec in suite_times.items():
+            timings[f"suite:{qname}"] = sec
+        suite_extra = {
+            "suite_total": round(sum(suite_times.values()), 3),
+            "suite_sf_dir": suite_dir,
+        }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -178,6 +212,7 @@ def main() -> None:
                 "sf": float(sf),
                 "reps": 5,
                 "edges_built": n_edges,
+                **suite_extra,
             }
         )
     )
