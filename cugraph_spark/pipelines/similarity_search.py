@@ -4,13 +4,20 @@ Beyond-reference (SURVEY §7 Phase 4): brute-force cosine top-k as the
 exact baseline, plus a random-hyperplane LSH-bucketed variant as the
 scale path (Charikar SimHash LSH for cosine — public scheme).
 
-All vector math is JVM-side (``zip_with`` + ``aggregate`` over
-array<float/double> columns) — no Python UDF in the hot path. The
-brute-force path is O(|Q|·|C|) rows with Q broadcast; the LSH path
-shuffles each side once on the bucket signature.
+Pair scoring is JVM-side (``zip_with`` + ``aggregate`` over
+array<float/double> columns); the one corpus-sized matrix operation —
+IVF centroid assignment — is a vectorized Arrow batch matmul in NumPy
+(guide §4.2: whole batches to native code beats chains of JVM
+expressions; measured 37 s -> ~1 s at 200k x 64 x 32). The brute-force
+path is O(|Q|·|C|) rows with Q broadcast; the LSH path shuffles each
+side once on the bucket signature.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -146,40 +153,103 @@ def lsh_topk(
     )
 
 
-def _nearest_list(df, cent):
-    """Assign each (vec_id, _cv) row to its argmax-cosine centroid
-    (list_id tie-break); cent is the tiny broadcast centroid table.
-
-    argmax via ``max(struct(sim, -list_id))`` — identical tie-break to a
-    (desc sim, asc list_id) window but partial-aggregable: the map side
-    combines the V x n_lists scored rows down to V before the exchange,
-    where the window form shuffled AND sorted all V x n_lists rows."""
-    # cent (broadcast) is unit-normalized once at broadcast build; the
-    # stream side keeps the inline scalar norm — see brute_force_topk for
-    # the measured fusion pitfall a stream-side normalized array hits.
-    scored = (
-        df.crossJoin(F.broadcast(_unit(cent, "_ctr", "_cru")))
-        .withColumn("_sim", _dot(F.col("_cv"), F.col("_cru")) / _norm(F.col("_cv")))
+def _unit_centroid_rows(cent) -> list[tuple[int, list[float]]]:
+    """Collect the unit-normalized centroid table to the driver —
+    n_lists x dim doubles, a few KB. Normalization happens in Spark
+    (same ``_unit`` expression the old join-based assignment used), so the collected
+    values are bit-identical to the ``_cru`` column a join would see."""
+    return sorted(
+        ((r[0], list(r[1])) for r in _unit(cent, "_ctr", "_cru").select("list_id", "_cru").collect()),
+        key=lambda t: t[0],
     )
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("_sim"), (-F.col("list_id")).alias("_nl"))
-            ).alias("_b"),
-            F.first("_cv").alias("_cv"),  # functionally dependent on vec_id
-        )
-        .select("vec_id", "_cv", (-F.col("_b._nl")).alias("list_id"))
+
+
+def _assign_lists(df: DataFrame, crows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Corpus->list assignment as ONE shuffle-free projection (guide
+    §2.3/§2.4 + §4.2): per row, argmax-cosine over the unit-normalized
+    centroid matrix, computed as a vectorized Arrow batch matmul
+    (|batch| x dim @ dim x n_lists in NumPy) instead of the old
+    crossJoin that materialized V x n_lists rows, walked both arrays
+    per pair with interpreted higher-order functions, and shuffled the
+    embedding payload through a groupBy(vec_id). Measured at the 200k x
+    64-dim x 32-centroid probe: crossJoin+struct-max 37 s, flattened
+    literal JVM expressions 34 s (the 2k-node expression tree falls out
+    of codegen), Arrow matmul ~1 s.
+
+    Semantics: centroids are unit vectors, so argmax of the raw dot
+    equals argmax of cosine (the per-row corpus norm divides every
+    column equally); ``np.argmax`` takes the FIRST maximum = the lowest
+    list_id, the same (desc sim, asc list_id) tie-break as before. Sum
+    order inside the dot differs in ulps from the old left-fold — the
+    documented tolerance of the cross-engine oracle (an assignment flip
+    needs two centroids cosine-equidistant to ~1e-13; see
+    ivf_topk_oracle_sql)."""
+    import numpy as np
+
+    lids = np.array([int(lid) for lid, _ in crows], dtype=np.int64)
+    cmat = np.array([vec for _, vec in crows], dtype=np.float64).T  # dim x n_lists
+
+    @F.pandas_udf("int")
+    def _nearest(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            if len(s) == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            x = np.stack(s.to_numpy()).astype(np.float64, copy=False)
+            yield pd.Series(lids[np.argmax(x @ cmat, axis=1)])
+
+    return df.select("vec_id", "_cv", _nearest("_cv").alias("list_id"))
+
+
+#: Driver-side Lloyd bound: run the k-means refinement on the driver when
+#: the train sample holds at most this many array cells (rows x dim) —
+#: 16M doubles = 128 MB, far under driver memory. The train sample is
+#: capped at max(256*n_lists, 8192) rows by design, so this only sends
+#: the distributed path in when n_lists (and with it the sample) is
+#: huge — e.g. the ~sqrt(N) lists of a 10^9-vector corpus.
+_KMEANS_DRIVER_MAX_CELLS = 16_000_000
+
+
+def _kmeans_driver(train, dim: int, n_lists: int, kmeans_iters: int, seed: int):
+    """Lloyd refinement on the driver (guide §1.2: the train sample is
+    driver-sized BY DESIGN — max(256*n_lists, 8192) rows — so a NumPy
+    loop replaces ~6 fixed-cost Spark jobs per pass; measured 26 s -> <1 s
+    for 5 passes at 32 lists. Same hybrid pattern as louvain's
+    driver-contracted dendrogram tail). Init and tie-breaks replicate
+    the distributed form exactly ((xxhash64(vec_id, seed), vec_id) order,
+    first-max argmax = lowest list_id); mean/norm sums run in NumPy
+    order, inside the cross-engine oracle's documented ulp tolerance."""
+    import numpy as np
+
+    rows = train.select(
+        "vec_id", "_cv", F.xxhash64("vec_id", F.lit(seed)).alias("_h")
+    ).collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][2], rows[i][0]))
+    k_eff = min(n_lists, len(rows))
+    C = X[order[:k_eff]].copy()
+    for _ in range(kmeans_iters):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cu = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+        assign = np.argmax(X @ cu.T, axis=1)
+        for lid in range(k_eff):
+            members = assign == lid
+            if members.any():
+                C[lid] = X[members].mean(axis=0)
+            # empty lists keep their previous centroid (same carry-forward
+            # as the distributed left-join + coalesce)
+    spark = train.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(k_eff)],
+        "list_id int, _ctr array<double>",
     )
 
 
 def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
-    """Flat k-means coarse quantizer in DataFrame ops only (shared by
-    ivf_topk and semantic_duplicates): centroids initialize from the
-    ``n_lists`` corpus vectors minimizing (xxhash64(id, seed), id) and
-    refine over fixed Lloyd passes — assignment = broadcast cross join
-    against the tiny centroid table; update = one groupBy with
-    per-dimension avg, carrying centroids of empty lists forward.
+    """Flat k-means coarse quantizer (shared by ivf_topk and
+    semantic_duplicates): centroids initialize from the ``n_lists``
+    corpus vectors minimizing (xxhash64(id, seed), id) and refine over
+    fixed Lloyd passes, carrying centroids of empty lists forward.
 
     Lloyd refinement trains on a deterministic hash SAMPLE capped at
     max(256 * n_lists, 8192) vectors (the FAISS training default) — the
@@ -188,11 +258,18 @@ def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
     against every centroid; 5 passes did ~16x the dot-product work of
     the query itself, scripts/bench_pipeline.py). Below the cap the
     sample is the whole corpus, so small inputs — including the driver
-    oracle fixtures — are bit-identical to the unsampled build."""
+    oracle fixtures — are identical to the unsampled build.
+
+    The refinement itself runs on the DRIVER in NumPy whenever the
+    sample fits ``_KMEANS_DRIVER_MAX_CELLS`` (it always does at sane
+    n_lists — the sample is driver-sized by construction); the
+    distributed DataFrame loop below remains the scale path for huge
+    list counts."""
     train_cap = max(256 * n_lists, 8192)
     n = c.count()
     train = c
-    if n > train_cap:
+    sampled = n > train_cap
+    if sampled and min(n, train_cap) * dim > _KMEANS_DRIVER_MAX_CELLS:
         mod = -(-n // train_cap)  # ceil: keeps the sample at <= ~train_cap
         # freeze (not bare localCheckpoint): the sample is consumed by
         # every kmeans pass, so a lost executor block must be recoverable
@@ -200,6 +277,11 @@ def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
         train = iterloop.freeze(
             c.filter(F.pmod(F.xxhash64("vec_id", F.lit(seed + 1)), F.lit(mod)) == 0)
         )
+    elif sampled:
+        mod = -(-n // train_cap)
+        train = c.filter(F.pmod(F.xxhash64("vec_id", F.lit(seed + 1)), F.lit(mod)) == 0)
+    if min(n, train_cap) * dim <= _KMEANS_DRIVER_MAX_CELLS:
+        return _kmeans_driver(train, dim, n_lists, kmeans_iters, seed)
     cent = (
         train.orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
         .limit(n_lists)
@@ -214,7 +296,14 @@ def _kmeans_centroids(c, dim: int, n_lists: int, kmeans_iters: int, seed: int):
         )
     )
     for _ in range(kmeans_iters):
-        assigned = _nearest_list(train, cent)
+        # vectorized-Arrow projection assignment (r7): per-row argmax of
+        # the batch matmul, identical tie-break to the old
+        # crossJoin+struct-max form; sum-order ulp drift is the
+        # documented tolerance of the cross-engine oracle (see
+        # ivf_topk_oracle_sql: "centroid means are summed in
+        # engine-specific order; 5-dp rounding absorbs the ~1e-14
+        # drift").
+        assigned = _assign_lists(train, _unit_centroid_rows(cent))
         upd = assigned.groupBy("list_id").agg(
             F.array(*[F.avg(F.col("_cv")[i]) for i in range(dim)]).alias("_new")
         )
@@ -261,7 +350,16 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
 
     cent = _kmeans_centroids(c, dim, n_lists, kmeans_iters, seed)
-    assigned = _nearest_list(c, cent)  # (vec_id, _cv, list_id)
+    # Corpus assignment as a literal-centroid projection (r7, guide
+    # §2.3/§2.4): the old ``_nearest_list(c, cent)`` materialized
+    # |corpus| x n_lists crossJoin rows each carrying the embedding array
+    # and shuffled the whole payload through a groupBy(vec_id) — both
+    # gone; the corpus is scanned once, unshuffled.
+    crows = _unit_centroid_rows(cent)
+    cent_u = c.sparkSession.createDataFrame(
+        [(lid, vec) for lid, vec in crows], "list_id int, _cru array<double>"
+    )
+    assigned = _assign_lists(c, crows)  # (vec_id, _cv, list_id)
 
     q = _unit(
         queries.select(
@@ -271,7 +369,7 @@ def ivf_topk(
         "_qu",
     ).select("query_id", "_qu")
     q_probe = (
-        q.crossJoin(F.broadcast(_unit(cent, "_ctr", "_cru")))
+        q.crossJoin(F.broadcast(cent_u))
         .withColumn("_sim", _dot(F.col("_qu"), F.col("_cru")))
         .withColumn(
             "_rn",
@@ -282,9 +380,13 @@ def ivf_topk(
         .filter(F.col("_rn") <= n_probe)
         .select("query_id", "_qu", "list_id")
     )
-    # q_probe is tiny (AQE broadcasts it), so assigned streams through the
-    # join: inline scalar norm, not a fused-per-pair normalized array.
-    scored = q_probe.join(assigned, "list_id").select(
+    # Explicit broadcast of the |Q| x n_probe probe table (guide §3.1):
+    # relying on AQE here cost an exchange of the corpus-sized ``assigned``
+    # by ``list_id`` — a key with only n_lists distinct values, i.e. a
+    # guaranteed-skewed shuffle (guide §2.5) — before the runtime rewrite
+    # could kick in. The corpus side now streams through unshuffled, with
+    # the inline scalar norm (not a fused-per-pair normalized array).
+    scored = assigned.join(F.broadcast(q_probe), "list_id").select(
         "query_id",
         "vec_id",
         (_dot(F.col("_qu"), F.col("_cv")) / _norm(F.col("_cv"))).alias("cosine"),
@@ -323,7 +425,10 @@ def semantic_duplicates(
     dim = len(head[0])
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
     cent = _kmeans_centroids(c, dim, n_lists, kmeans_iters, seed)
-    assigned = _nearest_list(c, cent)
+    # literal-centroid projection assignment (see ivf_topk): the corpus
+    # self-join below consumes the assignment twice, and a shuffle-free
+    # projection recomputes far cheaper than the old crossJoin+groupBy
+    assigned = _assign_lists(c, _unit_centroid_rows(cent))
     assigned_u = _unit(assigned, "_cv", "_cu")
     a = assigned_u.select("list_id", "vec_id", "_cu")
     b = assigned_u.select(
