@@ -33,7 +33,13 @@ EXACT_BC_WARN_VERTICES = 50_000
 
 def _forward(edges, seeds_df, jk=SRC, gk=DST, state_rows=None):
     """Level-synchronous sigma-counting BFS from all seeds at once.
-    Returns (visited DF (source, vertex, distance, sigma), max_depth).
+    Returns (levels, max_depth) where ``levels[d]`` is the materialized
+    (source, vertex, distance, sigma) frontier at distance d — each one a
+    checkpoint leaf, so the backward sweep reads its two per-level slices
+    directly instead of filtering a persisted |levels|-sized union twice
+    per level (r7, guide §1/§2: one cached-scan per level, and the
+    running union is a lazy union of those same leaves — no re-checkpoint
+    job every 4 levels).
 
     ``jk``/``gk``: join/aggregation key — callers flip them to DST/SRC on
     symmetrized graphs (iterloop.sym_aligned_agg) so the per-level sigma
@@ -41,12 +47,14 @@ def _forward(edges, seeds_df, jk=SRC, gk=DST, state_rows=None):
     ``state_rows``: |sources|x|V| bound for broadcast-hinting the
     frontier and visited sides (checkpoint leaves carry no stats, so the
     planner would otherwise sort-merge them against the edge table)."""
-    visited = seeds_df.select(
-        "source", F.col("source").alias("vertex"), F.lit(0).alias("distance"),
-        F.lit(1.0).alias("sigma"),
+    frontier = iterloop.materialize(
+        seeds_df.select(
+            "source", F.col("source").alias("vertex"), F.lit(0).alias("distance"),
+            F.lit(1.0).alias("sigma"),
+        )
     )
-    visited = iterloop.materialize(visited)
-    frontier = visited
+    levels = [frontier]
+    visited = frontier
     depth = 0
     fs = iterloop.FusedSwap()  # swap + frontier count fused into one job
     while True:
@@ -74,8 +82,9 @@ def _forward(edges, seeds_df, jk=SRC, gk=DST, state_rows=None):
             [F.count(F.lit(1))],
         )
         if n_new == 0:
-            return visited, depth - 1
-        visited = iterloop.truncate_lineage(visited.unionByName(nxt), depth, 4)
+            return levels, depth - 1
+        levels.append(nxt)
+        visited = visited.unionByName(nxt)
         frontier = nxt
 
 
@@ -115,11 +124,16 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
     jk, gk = (
         (DST, SRC) if iterloop.sym_aligned_agg(G, state_rows) else (SRC, DST)
     )
-    visited, dmax = _forward(edges, seeds, jk, gk, state_rows)
-    visited = iterloop.persist(visited)
+    levels, dmax = _forward(edges, seeds, jk, gk, state_rows)
 
-    # backward accumulation, level by level
-    delta = visited.select("source", "vertex", F.lit(0.0).alias("delta"))
+    # backward accumulation, level by level: each level reads its own
+    # checkpointed forward slice (levels[d]) — previously both slices
+    # were distance-filters over one persisted union, i.e. two full
+    # cached scans of the |reached| table per level (r6 verdict #5)
+    visited_all = levels[0]
+    for lv in levels[1:]:
+        visited_all = visited_all.unionByName(lv)
+    delta = visited_all.select("source", "vertex", F.lit(0.0).alias("delta"))
     delta = iterloop.materialize(delta)
     vertex_acc = None
     edge_acc = None
@@ -134,7 +148,7 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
         # groupBys are keyed on SRC, so with broadcast joins the whole
         # level runs inside the cached edge partitioning, Exchange-free
         wlev = (
-            visited.filter(F.col("distance") == d)
+            levels[d]
             .join(iterloop.hint_state_join(delta, state_rows), ["source", "vertex"])
             .select("source", F.col("vertex").alias(DST), F.col("sigma").alias("_sw"),
                     F.col("delta").alias("_dw"))
@@ -144,7 +158,7 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
             edges.join(iterloop.hint_state_join(wlev, state_rows), DST)
             .join(
                 iterloop.hint_state_join(
-                    visited.filter(F.col("distance") == d - 1)
+                    levels[d - 1]
                     .select("source", F.col("vertex").alias(SRC), F.col("sigma").alias("_sv")),
                     state_rows,
                 ),
@@ -187,7 +201,6 @@ def _brandes_run(G: Graph, edges, seeds, n, n_sources, want_edges: bool,
     else:
         bc = reached.groupBy("vertex").agg(F.sum("delta").alias("_bc"))
     edges.unpersist()
-    visited.unpersist()
     return bc, edge_acc, n, n_sources
 
 

@@ -53,18 +53,23 @@ def ecg(
         shuffled_rows=G.number_of_edges(directed_edges=True),
     )
     with _small:
-      # isolated-vertex set is topology-only — compute once for the whole
-      # ensemble instead of once per member (3 jobs/member saved)
-      verts = base.groupBy(F.col(SRC).alias("vertex")).agg(F.lit(1))
-      iso, (n_iso,) = iterloop.FusedSwap().swap(
-          verts.select("vertex").join(
-              base.filter(F.col(SRC) != F.col(DST)).select(F.col(SRC).alias("vertex")),
-              "vertex",
-              "left_anti",
-          ),
-          [F.count(F.lit(1))],
+      # Shared-degree ensemble (r7, guide §2.3 "aggregate once"): each
+      # member's weighted degree is deg_0(v) * (1 + jitter_i(v)) — the
+      # jitter factor is per-vertex, so it distributes out of the
+      # per-vertex sum. One topology-only E-sized degree aggregate serves
+      # all ensemble_size members; each member's degree table is a
+      # V-sized projection over it. The iso set (vertices with no
+      # non-loop edge) falls out of the same aggregate, replacing the
+      # old anti-join + count jobs.
+      deg0 = base.groupBy(F.col(SRC).alias("vertex")).agg(
+          F.sum("_w").alias("_k0"),
+          F.max((F.col(SRC) != F.col(DST)).cast("int")).alias("_nl"),
       )
-      iso_arg = iso if n_iso else False
+      deg0 = iterloop.persist(deg0)
+      n_verts0, n_iso = iterloop.collect_scalars(
+          deg0, [F.count("*"), F.count(F.when(F.col("_nl") == 0, 1))]
+      )
+      iso_arg = deg0.filter(F.col("_nl") == 0).select("vertex") if n_iso else False
       for i in range(ensemble_size):
         # jitter: permute effective tie-breaks by hashing vertex ids with
         # the run index (one-level louvain is tie-break sensitive, which
@@ -74,11 +79,19 @@ def ecg(
             / 1e9
         )
         jittered = base.select(SRC, DST, (F.col("_w") * (1.0 + jitter)).alias("_w"))
+        jitter_v = (
+            F.pmod(F.xxhash64("vertex", F.lit(random_state + i)), F.lit(1000)).cast("double")
+            / 1e9
+        )
+        deg_i = deg0.select(
+            "vertex", (F.col("_k0") * (1.0 + jitter_v)).alias("_k"), "_nl"
+        )
         # canonical=False: the vote only compares label EQUALITY within
         # one member's assignment, so the min-member relabel is skipped
         assign, _ = _one_level(
             jittered, resolution, 3, threshold,
             compute_q=False, canonical=False, precomputed_iso=iso_arg,
+            precomputed_deg=(deg_i, n_verts0, n_iso),
         )
         co = (
             base.select(SRC, DST)
@@ -94,6 +107,7 @@ def ecg(
             .select(SRC, DST, (F.col("_votes") + F.col("_co")).alias("_votes"))
         )
       votes = iterloop.materialize(votes)
+      deg0.unpersist()
 
     reweighted = votes.select(
         SRC, DST,

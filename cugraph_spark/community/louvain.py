@@ -170,6 +170,7 @@ def _one_level(
     n_edges: int | None = None,
     canonical: bool = True,
     precomputed_iso: "DataFrame | None | bool" = None,
+    precomputed_deg: "tuple | None" = None,
 ):
     """Local-move passes on one graph level.
 
@@ -191,18 +192,29 @@ def _one_level(
     rows instead of the whole edge list.
     """
     spark = edges.sparkSession
-    # _nl marks vertices with at least one non-loop edge: the iso set
-    # (self-loop-only vertices) falls out of the same aggregation instead
-    # of costing its own anti-join materialize + count (two jobs/level)
-    deg = edges.groupBy(F.col(SRC).alias("vertex")).agg(
-        F.sum("_w").alias("_k"),
-        F.max((F.col(SRC) != F.col(DST)).cast("int")).alias("_nl"),
-    )
-    deg = iterloop.persist(deg)
-    # deg sums == edge-weight sum on a symmetrized list: one job for all
-    n_verts_hint, two_m, n_iso = iterloop.collect_scalars(
-        deg, [F.count("*"), F.sum("_k"), F.count(F.when(F.col("_nl") == 0, 1))]
-    )
+    if precomputed_deg is not None:
+        # Ensemble callers (ecg) share ONE topology-only E-sized degree
+        # aggregate across all members and pass each member's degree table
+        # as a V-sized projection over it (deg_i = deg_0 * (1 + jitter_i);
+        # the jitter factor is per-vertex, so it distributes out of the
+        # per-vertex weight sum). Saves an E-sized groupBy + persist +
+        # E-scan scalar job PER MEMBER; only two_m (jitter-dependent)
+        # still needs a job here, and it is V-sized.
+        deg, n_verts_hint, n_iso = precomputed_deg
+        (two_m,) = iterloop.collect_scalars(deg, [F.sum("_k")])
+    else:
+        # _nl marks vertices with at least one non-loop edge: the iso set
+        # (self-loop-only vertices) falls out of the same aggregation instead
+        # of costing its own anti-join materialize + count (two jobs/level)
+        deg = edges.groupBy(F.col(SRC).alias("vertex")).agg(
+            F.sum("_w").alias("_k"),
+            F.max((F.col(SRC) != F.col(DST)).cast("int")).alias("_nl"),
+        )
+        deg = iterloop.persist(deg)
+        # deg sums == edge-weight sum on a symmetrized list: one job for all
+        n_verts_hint, two_m, n_iso = iterloop.collect_scalars(
+            deg, [F.count("*"), F.sum("_k"), F.count(F.when(F.col("_nl") == 0, 1))]
+        )
 
     assign = deg.select("vertex", F.col("vertex").alias("community"))
     assign = iterloop.materialize(assign)
@@ -399,7 +411,8 @@ def _one_level(
         if compute_q
         else None
     )
-    deg.unpersist()
+    if precomputed_deg is None:
+        deg.unpersist()
     return assign, q_final
 
 

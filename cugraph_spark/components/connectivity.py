@@ -35,6 +35,8 @@ Spark mapping (SURVEY §2.E):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..constants import SRC, DST
@@ -55,6 +57,27 @@ from ..structure.symmetrize import add_reverse_edges
 # The cap sits between the two measurements, aligned with the state
 # threshold.
 _LABELMAP_BROADCAST_MAX_ROWS = 3_000_000
+
+
+#: Hash-min propagation passes fused into each wcc swap+convergence job;
+#: env-overridable (SPARK_GRAFT_WCC_PASSES) for A/B. Propagation is
+#: confluent min, so any k computes the identical fixpoint. Measured r7
+#: (sf0.1 cust-supp graph, interleaved min/median of 4): 32 cores k=1
+#: 2.04/2.39s, k=2 2.28/2.45s, k=3 2.21/2.53s; 8 cores k=1 2.33/2.78s,
+#: k=2 2.30/2.68s — all within this box's noise band. The per-pass fixed
+#: cost here is the THREE broadcast builds (state, nbr_min, lab_min),
+#: which batching cannot remove, not the driver sync — so the default
+#: stays 1 (extra passes past convergence also cost a full E-scan each
+#: at scale). The batching path stays for cluster A/Bs where the driver
+#: round-trip is hundreds of ms, not single-digit.
+WCC_PASSES_PER_SYNC = 1
+
+
+def _wcc_passes_per_sync() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_WCC_PASSES", str(WCC_PASSES_PER_SYNC))))
+    except ValueError:
+        return WCC_PASSES_PER_SYNC
 
 
 def _skew_safe_hint(df: DataFrame, n_rows: int | None):
@@ -110,56 +133,73 @@ def weakly_connected_components(
         if iterloop.sym_aligned_agg(G, G.number_of_vertices())
         else (SRC, DST)
     )
+
+    def _prop_round(cur: DataFrame) -> DataFrame:
+        """One hash-min propagation pass: returns (vertex, label, _old)."""
+        # min label over closed neighborhood (vertex itself + in-neighbors)
+        nbr_min = (
+            edges.join(
+                iterloop.hint_state_join(
+                    cur.select(F.col("vertex").alias(jk), "label"),
+                    G.number_of_vertices(),
+                ),
+                jk,
+            )
+            .groupBy(F.col(gk).alias("vertex"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        # nbr_min is V-bounded: broadcast it so the labels leaf is
+        # not re-shuffled+sorted for a sort-merge join every round
+        prop = (
+            cur.join(
+                iterloop.hint_state_join(nbr_min, G.number_of_vertices()),
+                "vertex",
+                "left",
+            )
+            .select(
+                "vertex",
+                F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias("label"),
+                F.col("label").alias("_old"),
+            )
+        )
+        # two-hop shortcut: each vertex also adopts the min label currently
+        # pointing at its label (label -> min(labels that share it))
+        lab_min = prop.groupBy(F.col("label").alias("_lab")).agg(F.min("vertex").alias("_root"))
+        # This join is keyed on LABEL, and labels consolidate toward one
+        # giant-component value — a shuffle join funnels most of V into
+        # one reduce task (measured: scale-22 R-MAT wcc 237s vs 16s at
+        # scale-20 purely from this skew once V left the state-broadcast
+        # regime). lab_min itself is <= #distinct-labels rows and
+        # shrinks geometrically, and a broadcast hash join is
+        # skew-immune, so hint it with its own (higher) cap.
+        lab_min = _skew_safe_hint(lab_min, G.number_of_vertices())
+        return (
+            prop.join(lab_min, prop["label"] == lab_min["_lab"], "left")
+            .select(
+                "vertex",
+                F.least(F.col("label"), F.coalesce("_root", F.col("label"))).alias("label"),
+                "_old",
+            )
+        )
+
+    # WCC_PASSES_PER_SYNC hash-min passes per swap+convergence job (r6
+    # verdict #6, guide §2 fixed-cost): min-label propagation is
+    # confluent — extra passes never change the fixpoint — so batching k
+    # passes into one driver round is semantics-free. Intermediate pass
+    # states are leaf-swapped (defer) so each pass's blocks are computed
+    # once inside the single fused job and every consumer reads the
+    # blocks. The convergence check stays sound: the LAST pass changing
+    # nothing means its input was already the fixpoint.
+    k_passes = _wcc_passes_per_sync()
     with iterloop.small_plan(edges.sparkSession, G.number_of_vertices()):
         while True:
             it += 1
-            # min label over closed neighborhood (vertex itself + in-neighbors)
-            nbr_min = (
-                edges.join(
-                    iterloop.hint_state_join(
-                        labels.select(F.col("vertex").alias(jk), "label"),
-                        G.number_of_vertices(),
-                    ),
-                    jk,
-                )
-                .groupBy(F.col(gk).alias("vertex"))
-                .agg(F.min("label").alias("_nbr"))
-            )
-            # nbr_min is V-bounded: broadcast it so the labels leaf is
-            # not re-shuffled+sorted for a sort-merge join every round
-            prop = (
-                labels.join(
-                    iterloop.hint_state_join(nbr_min, G.number_of_vertices()),
-                    "vertex",
-                    "left",
-                )
-                .select(
-                    "vertex",
-                    F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias("label"),
-                    F.col("label").alias("_old"),
-                )
-            )
-            # two-hop shortcut: each vertex also adopts the min label currently
-            # pointing at its label (label -> min(labels that share it))
-            lab_min = prop.groupBy(F.col("label").alias("_lab")).agg(F.min("vertex").alias("_root"))
-            # This join is keyed on LABEL, and labels consolidate toward one
-            # giant-component value — a shuffle join funnels most of V into
-            # one reduce task (measured: scale-22 R-MAT wcc 237s vs 16s at
-            # scale-20 purely from this skew once V left the state-broadcast
-            # regime). lab_min itself is <= #distinct-labels rows and
-            # shrinks geometrically, and a broadcast hash join is
-            # skew-immune, so hint it with its own (higher) cap.
-            lab_min = _skew_safe_hint(lab_min, G.number_of_vertices())
-            new_labels = (
-                prop.join(lab_min, prop["label"] == lab_min["_lab"], "left")
-                .select(
-                    "vertex",
-                    F.least(F.col("label"), F.coalesce("_root", F.col("label"))).alias("label"),
-                    "_old",
-                )
-            )
+            step = labels
+            for _ in range(k_passes - 1):
+                step = fs.defer(_prop_round(step).select("vertex", "label"))
             new_labels, (changes,) = fs.swap(
-                new_labels, [F.sum((F.col("label") != F.col("_old")).cast("long"))]
+                _prop_round(step),
+                [F.sum((F.col("label") != F.col("_old")).cast("long"))],
             )
             labels = new_labels.select("vertex", "label")
             if not changes:
