@@ -270,6 +270,112 @@ def test_text_pipeline_stays_shuffle_free(spark):
 
 
 @needs_testdata
+def test_swept_loop_bodies_stay_sortmerge_free(spark):
+    """r6 hint-sweep pins (r6 verdict #9): the V-bounded join sides the
+    r6 sweep broadcast-hinted (core_number's h-index state update,
+    louvain/leiden's contraction) must keep planning as
+    BroadcastHashJoin inside the small-plan regime — losing a hint in a
+    refactor silently re-introduces a per-round SortMergeJoin that
+    shuffles+sorts stats-less checkpoint leaves every iteration."""
+    from cugraph_spark import Graph
+    from cugraph_spark.plans import iterloop
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    e = lineitem.select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    g = Graph(directed=False)
+    g.from_edgelist(e, "src", "dst")
+    n = g.number_of_vertices()
+    edges = g.edgelist.select("src", "dst")
+    state = iterloop.materialize(
+        g.vertices_internal.select("vertex", F.col("vertex").cast("int").alias("c"))
+    )
+    with iterloop.small_plan(spark, n):
+        # core_number round: message agg + V ⨝ V h-index state update
+        nbr = (
+            edges.join(
+                iterloop.hint_state_join(
+                    state.select(F.col("vertex").alias("dst"), F.col("c").alias("_nc")), n
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.max("_nc").alias("_h"))
+        )
+        upd = state.join(iterloop.hint_state_join(nbr, n), "vertex", "left")
+        # louvain/leiden contraction: edges ⨝ assign(src) ⨝ assign(dst)
+        assign_s = state.select(F.col("vertex").alias("src"), F.col("c").alias("_cs"))
+        assign_d = state.select(F.col("vertex").alias("dst"), F.col("c").alias("_cd"))
+        contracted = (
+            edges.join(iterloop.hint_state_join(assign_s, n), "src")
+            .join(iterloop.hint_state_join(assign_d, n), "dst")
+            .groupBy(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("_w"))
+        )
+        for name, df in (("core_number_update", upd), ("contraction", contracted)):
+            plan = _plan(df)
+            assert "SortMergeJoin" not in plan, (name, plan)
+            assert "BroadcastHashJoin" in plan, (name, plan)
+    g.edgelist.unpersist()
+
+
+@needs_testdata
+def test_path_retrieval_pred_cache_feeds_join_exchange_free(spark):
+    """r6 path_retrieval pin: the loop-invariant predecessor table is
+    repartitioned+sorted on the join key ONCE and persisted — each hop's
+    join must read it from the cache with no fresh Exchange (only the
+    tiny destinations-state side may shuffle)."""
+    from cugraph_spark import Graph
+    from cugraph_spark.plans import iterloop
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    e = lineitem.select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    g = Graph(directed=False)
+    g.from_edgelist(e, "src", "dst")
+    bfs_like = iterloop.materialize(
+        g.vertices_internal.select(
+            "vertex", F.lit(0).alias("distance"), F.lit(-1).alias("predecessor")
+        )
+    )
+    preds = iterloop.persist(
+        bfs_like.select(F.col("vertex").alias("_cur"), "predecessor")
+        .repartition("_cur")
+        .sortWithinPartitions("_cur")
+    )
+    preds.count()
+    state = iterloop.materialize(
+        g.vertices_internal.limit(3).select(
+            F.col("vertex").alias("destination"),
+            F.array("vertex").alias("path"),
+            F.col("vertex").alias("_cur"),
+            F.lit(False).alias("_done"),
+        )
+    )
+    prev_abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # at test SF the planner would broadcast the tiny preds cache; at
+    # scale it is V-sized and never broadcast — reproduce the at-scale
+    # sort-merge shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        step = state.join(preds, "_cur", "left")
+        plan = _plan(step)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abj)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert "SortMergeJoin" in plan, plan
+    # exactly one Exchange in the EXECUTION section: the state side's.
+    # The preds side satisfies distribution AND order straight from the
+    # cache (everything after "InMemoryRelation" is the one-time cache
+    # BUILD plan, not per-hop work).
+    head = plan.split("InMemoryRelation")[0]
+    assert head.count("Exchange") == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    g.edgelist.unpersist()
+    preds.unpersist()
+
+
+@needs_testdata
 def test_read_edgelist_prunes_columns(spark):
     from cugraph_spark.sources import read_edgelist
 
