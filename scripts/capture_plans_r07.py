@@ -194,6 +194,38 @@ def main() -> None:
         )
         save("betweenness_backward_level", tag, (title, explain_str(lev_delta)))
 
+    # ---- vertex_coloring 'used' aggregation orientation ----------------------
+    # The decider agg of the r7 orientation A/B: collect_set partial
+    # buffers are not V-bounded, so the dst-keyed exchange carries fat
+    # set buffers while the src-keyed form stays inside the cached
+    # partitioning. Capture honors SPARK_GRAFT_COLOR_FLIP exactly like
+    # the implementation (before = run with SPARK_GRAFT_COLOR_FLIP=0).
+    flip = os.environ.get("SPARK_GRAFT_COLOR_FLIP", "1") == "1"
+    agg_k, oth_k = (SRC, DST) if flip else (DST, SRC)
+    colored = iterloop.materialize(
+        g.vertices_internal.select("vertex", (F.col("vertex") % 7).cast("int").alias("color"))
+    )
+    with iterloop.small_plan(spark, n):
+        used = (
+            edges.join(
+                iterloop.hint_state_join(
+                    colored.select(F.col("vertex").alias(oth_k), "color"), n
+                ),
+                oth_k,
+            )
+            .groupBy(F.col(agg_k).alias("vertex"))
+            .agg(F.sort_array(F.collect_set("color")).alias("_used"))
+        )
+        save(
+            "vertex_coloring_used_agg",
+            tag,
+            (
+                f"'used' collect_set aggregation keyed on {agg_k} "
+                f"(flip={'on' if flip else 'off'})",
+                explain_str(used),
+            ),
+        )
+
     spark.stop()
 
 
