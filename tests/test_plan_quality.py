@@ -376,6 +376,40 @@ def test_path_retrieval_pred_cache_feeds_join_exchange_free(spark):
 
 
 @needs_testdata
+def test_ivf_assignment_stays_projection_shaped(spark):
+    """r7 IVF pin: the corpus->list assignment must stay a single
+    shuffle-free projection (vectorized Arrow argmax) and the probe
+    join must broadcast the tiny probe table — a refactor back to the
+    crossJoin+groupBy assignment or a shuffled list_id join (n_lists
+    distinct values = guaranteed skew) re-creates the 4x-slower-than-
+    brute-force plan this round removed."""
+    from pyspark.sql import functions as F
+
+    from cugraph_spark.pipelines.similarity_search import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, k=3, n_lists=4, n_probe=2, kmeans_iters=1)
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the assignment is an Arrow-batch projection, not a join+aggregate
+    assert "ArrowEvalPython" in plan, plan
+    # no exchange may touch the corpus: the only hash exchanges left are
+    # query_id-keyed (the |Q| x n_lists probe window and the final top-k
+    # window). A list_id- or vec_id-keyed exchange means the corpus is
+    # being shuffled again.
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert hash_exchanges and all("query_id" in ln for ln in hash_exchanges), plan
+
+
+@needs_testdata
 def test_read_edgelist_prunes_columns(spark):
     from cugraph_spark.sources import read_edgelist
 
